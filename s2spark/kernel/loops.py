@@ -1,0 +1,445 @@
+"""S2 loops & polygons: vectorized point-in-polygon via crossing parity.
+
+A loop is a closed CCW-interior-left vertex chain; a polygon is a set of
+nested loops where a point is inside iff it is inside an odd number of
+loops (/root/reference/S2Geometry/S2Polygon.cs:10-16).
+
+The hot kernel is :meth:`Loop.contains_points`: instead of the reference's
+stateful per-edge EdgeCrosser (S2EdgeUtil.cs:740-868) we batch the parity
+computation across (points x loop-edges) with one matrix of orientation
+signs, a masked slow path for edge pairs straddling the great circle, and
+a scalar fallback for shared-vertex degeneracies — semantics identical to
+S2Loop.Contains (S2Loop.cs:795-834) with origin parity from the fixed
+point S2.Origin = (0,1,0) (S2.cs:97).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import sphere
+from .intervals import PI, LatLngRect, R1Interval, RectBounder, S1Interval
+from .cell import Cell
+
+ORIGIN = (0.0, 1.0, 0.0)  # S2.cs:97
+
+# displacement constant for area fan origin (S2Loop.cs:506-513)
+_E = math.e
+
+
+def _vertex_crossing(a, b, c, d) -> bool:
+    """Parity rule at shared vertices (S2EdgeUtil.cs:150-181). a..d are 3-tuples."""
+    if a == b or c == d:
+        return False
+
+    def occw(x, y, z, o):
+        return bool(sphere.ordered_ccw(
+            np.float64(x[0]), np.float64(x[1]), np.float64(x[2]),
+            np.float64(y[0]), np.float64(y[1]), np.float64(y[2]),
+            np.float64(z[0]), np.float64(z[1]), np.float64(z[2]),
+            np.float64(o[0]), np.float64(o[1]), np.float64(o[2]))[0])
+
+    def ortho(p):
+        ox, oy, oz = sphere.ortho(np.float64(p[0]), np.float64(p[1]), np.float64(p[2]))
+        return (float(ox[0]), float(oy[0]), float(oz[0]))
+
+    if a == d:
+        return occw(ortho(a), c, b, a)
+    if b == c:
+        return occw(ortho(b), d, a, b)
+    if a == c:
+        return occw(ortho(a), d, b, a)
+    if b == d:
+        return occw(ortho(b), c, a, b)
+    return False
+
+
+def robust_crossing_batch(ax, ay, az, bx, by, bz, cx, cy, cz, dx, dy, dz):
+    """Vectorized RobustCrossing over parallel edge arrays
+    (S2EdgeUtil.cs:85-123). Returns int8 {-1, 0, +1}."""
+    abx, aby, abz = sphere.cross(ax, ay, az, bx, by, bz)
+    acb = -sphere.robust_ccw(ax, ay, az, bx, by, bz, cx, cy, cz, abx, aby, abz)
+    bda = sphere.robust_ccw(ax, ay, az, bx, by, bz, dx, dy, dz, abx, aby, abz)
+    out = np.full(np.broadcast(acb, bda).shape, -1, dtype=np.int8)
+    degenerate = (bda & acb) == 0
+    maybe = (bda == acb) & ~degenerate
+    if np.any(maybe):
+        cdx, cdy, cdz = sphere.cross(cx, cy, cz, dx, dy, dz)
+        cbd = -sphere.robust_ccw(cx, cy, cz, dx, dy, dz, bx, by, bz, cdx, cdy, cdz)
+        dac = sphere.robust_ccw(cx, cy, cz, dx, dy, dz, ax, ay, az, cdx, cdy, cdz)
+        out[maybe & (cbd == acb) & (dac == acb)] = 1
+    out[degenerate] = 0
+    return out
+
+
+class Loop:
+    """Single loop with precomputed bound + origin-inside bit."""
+
+    def __init__(self, vertices: np.ndarray, depth: int = 0):
+        v = np.asarray(vertices, dtype=np.float64)
+        if v.ndim != 2 or v.shape[1] != 3 or v.shape[0] < 3:
+            raise ValueError("vertices must be (n>=3, 3)")
+        self.vertices = v
+        self.depth = depth
+        self.bound = LatLngRect.full()
+        self.origin_inside = False
+        self._init_origin()
+        self._init_bound()
+
+    @property
+    def num_vertices(self) -> int:
+        return len(self.vertices)
+
+    def vertex(self, i: int) -> tuple[float, float, float]:
+        v = self.vertices[i % len(self.vertices)]
+        return (float(v[0]), float(v[1]), float(v[2]))
+
+    # -- construction internals ----------------------------------------------
+
+    def _init_origin(self) -> None:
+        """Determine whether S2.Origin is inside (S2Loop.cs:907-932)."""
+        v1 = self.vertices[1]
+        ox, oy, oz = sphere.ortho(v1[0], v1[1], v1[2])
+        v1_inside = bool(sphere.ordered_ccw(
+            ox, oy, oz,
+            np.float64(self.vertices[0][0]), np.float64(self.vertices[0][1]), np.float64(self.vertices[0][2]),
+            np.float64(self.vertices[2][0]), np.float64(self.vertices[2][1]), np.float64(self.vertices[2][2]),
+            np.float64(v1[0]), np.float64(v1[1]), np.float64(v1[2]))[0])
+        self.origin_inside = False
+        contains_v1 = bool(self.contains_points(
+            np.array([v1[0]]), np.array([v1[1]]), np.array([v1[2]]))[0])
+        if v1_inside != contains_v1:
+            self.origin_inside = True
+
+    def _init_bound(self) -> None:
+        """Wrap-safe lat/lng bound incl. pole handling (S2Loop.cs:934-964)."""
+        bounder = RectBounder()
+        n = self.num_vertices
+        for i in range(n + 1):
+            v = self.vertices[i % n]
+            bounder.add_point(float(v[0]), float(v[1]), float(v[2]))
+        b = bounder.bound
+        self.bound = LatLngRect.full()
+        if bool(self.contains_points(np.array([0.0]), np.array([0.0]), np.array([1.0]))[0]):
+            b = LatLngRect(R1Interval(b.lat.lo, PI / 2), S1Interval.full())
+        if b.lng.is_full and bool(
+                self.contains_points(np.array([0.0]), np.array([0.0]), np.array([-1.0]))[0]):
+            b = LatLngRect(R1Interval(-PI / 2, b.lat.hi), b.lng)
+        self.bound = b
+
+    # -- point containment (THE hot kernel) -----------------------------------
+
+    def contains_points(self, px, py, pz) -> np.ndarray:
+        """Vectorized S2Loop.Contains over point arrays (S2Loop.cs:795-834)."""
+        px = np.asarray(px, dtype=np.float64)
+        py = np.asarray(py, dtype=np.float64)
+        pz = np.asarray(pz, dtype=np.float64)
+        result = np.zeros(px.shape, dtype=bool)
+        in_bound = self.bound.contains_points(px, py, pz)
+        if not np.any(in_bound):
+            return result
+        qx, qy, qz = px[in_bound], py[in_bound], pz[in_bound]
+        result[in_bound] = self._parity_inside(qx, qy, qz)
+        return result
+
+    def _parity_inside(self, px, py, pz) -> np.ndarray:
+        verts = self.vertices  # (m,3)
+        m = len(verts)
+        k = len(px)
+        # w[i, j] = RobustCcw(Origin, p_i, v_j) with aCrossB = Origin x p_i
+        # Origin x p = (oy*pz - oz*py, oz*px - ox*pz, ox*py - oy*px) with o=(0,1,0)
+        oxp = np.empty((k, 3))
+        oxp[:, 0] = pz
+        oxp[:, 1] = 0.0
+        oxp[:, 2] = -px
+        det = oxp @ verts.T  # (k, m)
+        w = np.zeros((k, m), dtype=np.int8)
+        w[det > sphere.CCW_UNCERTAINTY] = 1
+        w[det < -sphere.CCW_UNCERTAINTY] = -1
+        uncertain = np.abs(det) <= sphere.CCW_UNCERTAINTY
+        if np.any(uncertain):
+            rows, cols = np.nonzero(uncertain)
+            for r, c in zip(rows, cols):
+                w[r, c] = sphere._expensive_ccw_scalar(
+                    ORIGIN, (px[r], py[r], pz[r]),
+                    (verts[c, 0], verts[c, 1], verts[c, 2]))
+
+        w_prev = np.roll(w, 1, axis=1)  # w_{j-1} with wraparound (chain start v[m-1])
+        # edge j: c = v_{j-1}, d = v_j; acb = -w_prev, bda = w
+        same_side = (w == w_prev) & (w != 0)          # no crossing
+        degenerate = (w == 0) | (w_prev == 0)          # vertex-crossing rule
+        slow = ~same_side & ~degenerate                # opposite sides: full test
+
+        crossings = np.zeros((k, m), dtype=bool)
+        if np.any(slow):
+            # precompute per-edge c x d and dac = RobustCcw(c, d, Origin)
+            c_verts = np.roll(verts, 1, axis=0)
+            cd = np.cross(c_verts, verts)  # (m,3)
+            dac_det = cd[:, 1]  # dot(cd, Origin)
+            dac = np.zeros(m, dtype=np.int8)
+            dac[dac_det > sphere.CCW_UNCERTAINTY] = 1
+            dac[dac_det < -sphere.CCW_UNCERTAINTY] = -1
+            dac_unc = np.nonzero(np.abs(dac_det) <= sphere.CCW_UNCERTAINTY)[0]
+            for j in dac_unc:
+                dac[j] = sphere._expensive_ccw_scalar(
+                    tuple(c_verts[j]), tuple(verts[j]), ORIGIN)
+            rows, cols = np.nonzero(slow)
+            # cbd = -RobustCcw(c, d, p) with cCrossD precomputed
+            cbd_det = -(cd[cols, 0] * px[rows] + cd[cols, 1] * py[rows]
+                        + cd[cols, 2] * pz[rows])
+            cbd = np.zeros(len(rows), dtype=np.int8)
+            cbd[cbd_det > sphere.CCW_UNCERTAINTY] = 1
+            cbd[cbd_det < -sphere.CCW_UNCERTAINTY] = -1
+            unc = np.nonzero(np.abs(cbd_det) <= sphere.CCW_UNCERTAINTY)[0]
+            for t in unc:
+                j, r = cols[t], rows[t]
+                cbd[t] = -sphere._expensive_ccw_scalar(
+                    tuple(c_verts[j]), tuple(verts[j]), (px[r], py[r], pz[r]))
+            acb = -w_prev[rows, cols]
+            crossings[rows, cols] = (cbd == acb) & (dac[cols] == acb)
+        if np.any(degenerate):
+            rows, cols = np.nonzero(degenerate)
+            for r, c in zip(rows, cols):
+                p = (float(px[r]), float(py[r]), float(pz[r]))
+                cv = tuple(map(float, verts[(c - 1) % m]))
+                dv = tuple(map(float, verts[c]))
+                # RobustCrossing == 0 only when two vertices coincide; otherwise
+                # re-evaluate the full predicate for this pair.
+                rc = robust_crossing_batch(
+                    np.float64(ORIGIN[0]), np.float64(ORIGIN[1]), np.float64(ORIGIN[2]),
+                    np.float64(p[0]), np.float64(p[1]), np.float64(p[2]),
+                    np.float64(cv[0]), np.float64(cv[1]), np.float64(cv[2]),
+                    np.float64(dv[0]), np.float64(dv[1]), np.float64(dv[2]))[0]
+                if rc > 0:
+                    crossings[r, c] = True
+                elif rc == 0:
+                    crossings[r, c] = _vertex_crossing(ORIGIN, p, cv, dv)
+        parity = np.logical_xor.reduce(crossings, axis=1)
+        return parity ^ self.origin_inside
+
+    # -- measures --------------------------------------------------------------
+
+    def get_area_centroid(self) -> tuple[float, tuple[float, float, float]]:
+        """(area, centroid*area) via fan from displaced origin (S2Loop.cs:483-550)."""
+        if self.num_vertices < 3:
+            return 0.0, (0.0, 0.0, 0.0)
+        origin = np.array(self.vertex(0))
+        a = np.abs(origin)
+        if a[0] > a[1]:
+            k = 0 if a[0] > a[2] else 2
+        else:
+            k = 1 if a[1] > a[2] else 2
+        axis = (k + 1) % 3
+        origin = origin.copy()
+        origin[axis] += _E * 1e-10
+        origin /= np.linalg.norm(origin)
+
+        n = self.num_vertices
+        v0 = self.vertices[np.arange(n)]
+        v1 = self.vertices[(np.arange(n) + 1) % n]
+        ox = np.full(n, origin[0]); oy = np.full(n, origin[1]); oz = np.full(n, origin[2])
+        areas = sphere.signed_area(ox, oy, oz, v0[:, 0], v0[:, 1], v0[:, 2],
+                                   v1[:, 0], v1[:, 1], v1[:, 2])
+        area_sum = float(np.sum(areas))
+        mx, my, mz = sphere.true_centroid(ox, oy, oz, v0[:, 0], v0[:, 1], v0[:, 2],
+                                          v1[:, 0], v1[:, 1], v1[:, 2])
+        centroid = (float(np.sum(mx)), float(np.sum(my)), float(np.sum(mz)))
+        if area_sum < 0:
+            area_sum += 4 * PI
+        return area_sum, centroid
+
+    def get_area(self) -> float:
+        return self.get_area_centroid()[0]
+
+    @property
+    def is_normalized(self) -> bool:
+        """Area at most 2*pi (with slack for errors, S2Loop.cs:201-212)."""
+        return self.get_area() <= 2 * PI + 1e-6
+
+    def inverted(self) -> "Loop":
+        return Loop(self.vertices[::-1].copy(), depth=self.depth)
+
+    def normalized(self) -> "Loop":
+        """Loop with area <= 2*pi, inverting if necessary (S2Loop.cs:442-448;
+        the reference's makePolygon normalizes every loop on load,
+        GeometryTestCase.cs:211-222)."""
+        return self if self.is_normalized else self.inverted()
+
+    def get_distance(self, px: float, py: float, pz: float) -> float:
+        """Min angle to any loop edge (S2Loop.cs:842-855); 0 handled by caller."""
+        n = self.num_vertices
+        v0 = self.vertices
+        v1 = self.vertices[(np.arange(n) + 1) % n]
+        d = sphere.point_edge_distance(
+            np.float64(px), np.float64(py), np.float64(pz),
+            v0[:, 0], v0[:, 1], v0[:, 2], v1[:, 0], v1[:, 1], v1[:, 2])
+        return float(np.min(d))
+
+    # -- cell predicates (coverer contract, S2Loop.cs:350-383) ------------------
+
+    def _edges(self) -> tuple[np.ndarray, np.ndarray]:
+        n = self.num_vertices
+        return self.vertices, self.vertices[(np.arange(n) + 1) % n]
+
+    def _crosses_cell_boundary(self, cell: Cell) -> bool:
+        """True if any loop edge properly crosses any cell edge (0 treated as
+        crossing => conservative for the coverer's may/contains contract)."""
+        cv = np.array([cell.get_vertex(k) for k in range(4)])
+        cv1 = cv[(np.arange(4) + 1) % 4]
+        a0, a1 = self._edges()
+        n = len(a0)
+        A0 = np.repeat(a0, 4, axis=0)
+        A1 = np.repeat(a1, 4, axis=0)
+        B0 = np.tile(cv, (n, 1))
+        B1 = np.tile(cv1, (n, 1))
+        r = robust_crossing_batch(
+            A0[:, 0], A0[:, 1], A0[:, 2], A1[:, 0], A1[:, 1], A1[:, 2],
+            B0[:, 0], B0[:, 1], B0[:, 2], B1[:, 0], B1[:, 1], B1[:, 2])
+        return bool(np.any(r >= 0))
+
+    def contains_cell(self, cell: Cell) -> bool:
+        """True only if the loop definitely contains the cell (may return a
+        conservative False; matches the IS2Region contract of
+        S2Loop.Contains(S2Cell), S2Loop.cs:350-364)."""
+        bound = cell.rect_bound()
+        if not self.bound.contains_rect(bound):
+            return False
+        if self._crosses_cell_boundary(cell):
+            return False
+        cv = np.array([cell.get_vertex(k) for k in range(4)])
+        inside = self.contains_points(cv[:, 0], cv[:, 1], cv[:, 2])
+        if not bool(np.all(inside)):
+            return False
+        # guard: loop boundary entirely within the cell => cell not contained
+        v0 = self.vertex(0)
+        if cell.contains_point(*v0):
+            return False
+        return True
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        """False only if the loop definitely does not intersect the cell
+        (S2Loop.cs:371-383)."""
+        if not self.bound.intersects_rect(cell.rect_bound()):
+            return False
+        if self._crosses_cell_boundary(cell):
+            return True
+        cv = np.array([cell.get_vertex(k) for k in range(4)])
+        if bool(np.any(self.contains_points(cv[:, 0], cv[:, 1], cv[:, 2]))):
+            return True
+        return cell.contains_point(*self.vertex(0))
+
+    def cap_bound(self):
+        from .cap import Cap
+        full = LatLngRect.full()
+        b = self.bound
+        # conservative: cap around rect center covering rect corners
+        if b.is_empty:
+            return Cap.empty()
+        if b.is_full or b == full:
+            return Cap.full()
+        lat_c = b.lat.center
+        lng_c = b.lng.center
+        ax = (math.cos(lat_c) * math.cos(lng_c),
+              math.cos(lat_c) * math.sin(lng_c), math.sin(lat_c))
+        cap = Cap.from_axis_height(ax, 0.0)
+        for lat in (b.lat.lo, b.lat.hi):
+            for lng in (b.lng.lo, b.lng.hi):
+                x = math.cos(lat) * math.cos(lng)
+                y = math.cos(lat) * math.sin(lng)
+                z = math.sin(lat)
+                cap = cap.add_point(x, y, z)
+        # widen to be safe for wrapped longitude intervals
+        if b.lng.is_inverted or b.lng.length > PI:
+            return Cap.full()
+        return cap
+
+    def rect_bound(self) -> LatLngRect:
+        return self.bound
+
+
+class Polygon:
+    """Nested loops; point inside iff inside an odd number of loops
+    (S2Polygon.cs:943-963)."""
+
+    def __init__(self, loops: list[Loop]):
+        self.loops = loops
+        b = LatLngRect.empty()
+        for lp in loops:
+            if lp.depth == 0 or lp.depth % 2 == 0:
+                b = b.union(lp.bound)
+        # reference combines bounds of shell loops (S2Polygon.cs:272-324)
+        if not loops:
+            b = LatLngRect.empty()
+        self.bound = b
+
+    def contains_points(self, px, py, pz) -> np.ndarray:
+        px = np.asarray(px, dtype=np.float64)
+        result = np.zeros(px.shape, dtype=bool)
+        in_bound = self.bound.contains_points(px, py, pz)
+        if not np.any(in_bound):
+            return result
+        qx = px[in_bound]
+        qy = np.asarray(py)[in_bound]
+        qz = np.asarray(pz)[in_bound]
+        inside = np.zeros(qx.shape, dtype=bool)
+        for lp in self.loops:
+            inside ^= lp.contains_points(qx, qy, qz)
+        result[in_bound] = inside
+        return result
+
+    def get_area_centroid(self) -> tuple[float, tuple[float, float, float]]:
+        """Sum over loops of sign(depth) * loop area (S2Polygon.cs:446-468)."""
+        area = 0.0
+        cx = cy = cz = 0.0
+        for lp in self.loops:
+            sign = -1.0 if (lp.depth & 1) else 1.0
+            a, (x, y, z) = lp.get_area_centroid()
+            area += sign * a
+            cx += sign * x; cy += sign * y; cz += sign * z
+        return area, (cx, cy, cz)
+
+    def get_distance(self, px: float, py: float, pz: float) -> float:
+        """0 if contained, else min over loops (S2Polygon.cs:487-503)."""
+        if bool(self.contains_points(np.array([px]), np.array([py]), np.array([pz]))[0]):
+            return 0.0
+        return min(lp.get_distance(px, py, pz) for lp in self.loops)
+
+    def contains_cell(self, cell: Cell) -> bool:
+        """Conservative polygon-cell containment (S2Polygon.cs:224-248)."""
+        if not self.bound.contains_rect(cell.rect_bound()):
+            return False
+        for lp in self.loops:
+            if lp._crosses_cell_boundary(cell):
+                return False
+        cv = np.array([cell.get_vertex(k) for k in range(4)])
+        if not bool(np.all(self.contains_points(cv[:, 0], cv[:, 1], cv[:, 2]))):
+            return False
+        for lp in self.loops:
+            if cell.contains_point(*lp.vertex(0)):
+                return False
+        return True
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        if not self.bound.intersects_rect(cell.rect_bound()):
+            return False
+        for lp in self.loops:
+            if lp._crosses_cell_boundary(cell):
+                return True
+        cv = np.array([cell.get_vertex(k) for k in range(4)])
+        if bool(np.any(self.contains_points(cv[:, 0], cv[:, 1], cv[:, 2]))):
+            return True
+        return any(cell.contains_point(*lp.vertex(0)) for lp in self.loops)
+
+    def cap_bound(self):
+        from .cap import Cap
+        if not self.loops:
+            return Cap.empty()
+        cap = self.loops[0].cap_bound()
+        for lp in self.loops[1:]:
+            cap = cap.add_cap(lp.cap_bound())
+        return cap
+
+    def rect_bound(self) -> LatLngRect:
+        return self.bound
