@@ -123,6 +123,37 @@ def intersection(a, b) -> np.ndarray:
     return np.array(out, dtype=np.uint64)
 
 
+def difference(a, b) -> np.ndarray:
+    """Cells covering (union a) minus (union b): each a-cell disjoint from b
+    passes through; contained cells drop; straddlers recurse into children
+    (the S2 GetDifference recursion).  Inputs must be normalized."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.sort(np.asarray(b, dtype=np.uint64))
+    if len(b) == 0:
+        return a.copy()
+    bmin = ci.range_min(b)
+    bmax = ci.range_max(b)
+    out: list[int] = []
+
+    def emit(cell: int) -> None:
+        arr = np.array([cell], dtype=np.uint64)
+        lo = ci.range_min(arr)[0]
+        hi = ci.range_max(arr)[0]
+        overlap = (bmin <= hi) & (bmax >= lo)
+        if not np.any(overlap):
+            out.append(cell)
+            return
+        # fully covered by a single b cell?
+        if np.any((bmin <= lo) & (bmax >= hi)):
+            return
+        for ch in ci.children(arr)[0]:
+            emit(int(ch))
+
+    for cell in a.tolist():
+        emit(int(cell))
+    return normalize(np.array(out, dtype=np.uint64))
+
+
 def contains_id(ids, query) -> np.ndarray:
     """Vectorized membership: does the normalized union contain each query
     cell? Binary search over sorted ids (S2CellUnion.cs:350-395)."""

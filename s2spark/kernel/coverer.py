@@ -121,8 +121,11 @@ class RegionCoverer:
             candidate.is_terminal = True
             self._add_candidate(region, candidate, result, pq, counter, interior)
             return
-        priority = -((((candidate.cell.level << shift) + n_children) << shift)
-                     + num_terminals)
+        # The reference enqueues -(((level << s) + children) << s + terminals)
+        # into a MAX-heap so the largest, least-intersecting cells refine
+        # first (S2RegionCoverer.cs:385-397).  heapq is a MIN-heap, so we
+        # push the positive key to get the same order.
+        priority = (((candidate.cell.level << shift) + n_children) << shift) + num_terminals
         heapq.heappush(pq, (priority, next(counter), candidate))
 
     def _initial_candidates(self, region, result, pq, counter, interior: bool):

@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k: the correctness baseline — cross join pruned by
+  broadcast of the (small) query side; dot product as a JVM higher-order
+  function (zip_with + aggregate), no Python.
+* LSH-bucketed (sign-random-projection) variant: the scale path — each
+  vector hashed to a b-bit sketch by the signs of b fixed pseudo-random
+  projections; candidates share a bucket (multi-probe by flipping one bit),
+  so the join is an equi-join on bucket id instead of all-pairs.
+* embedding-cosine near-dup: same machinery, thresholded.
+
+At 100 TB the all-pairs form is impossible; the bucket join shuffles on
+uniformly-distributed sketch ids and scales linearly in candidates.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def as_double_array(col: Column) -> Column:
+    return F.transform(col, lambda v: v.cast("double"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int,
+                     vec_col: str = "embedding", key_col: str = "vec_id",
+                     query_key: str = "query_id") -> DataFrame:
+    """Exact cosine top-k per query (queries broadcast; data side streamed).
+
+    Output: (query_id, vec_id, cos_sim, rank)."""
+    d = embeddings.select(F.col(key_col), as_double_array(F.col(vec_col)).alias("v"))
+    q = queries.select(F.col(query_key), as_double_array(F.col(vec_col)).alias("qv"))
+    scored = (d.crossJoin(F.broadcast(q))
+              .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("v")), 4)))
+    w = Window.partitionBy(query_key).orderBy(F.desc("cos_sim"), F.col(key_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_key, key_col, "cos_sim", "rank"))
+
+
+def _projection_vectors(dim: int, bits: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit projections (fixed LCG, no numpy
+    dependency at plan-build time)."""
+    vecs = []
+    state = 0x853C49E6748FEA9B
+    for _ in range(bits):
+        comps = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            comps.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        n = math.sqrt(sum(c * c for c in comps)) or 1.0
+        vecs.append([c / n for c in comps])
+    return vecs
+
+
+def srp_sketch(vec: Column, dim: int, bits: int = 16) -> Column:
+    """Sign-random-projection b-bit sketch as a single integer Column."""
+    projections = _projection_vectors(dim, bits)
+    sketch = F.lit(0).cast("long")
+    for b, proj in enumerate(projections):
+        d = _dot(vec, F.lit(proj))
+        sketch = sketch + F.when(d >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sketch
+
+
+def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int, dim: int,
+             bits: int = 12, vec_col: str = "embedding",
+             key_col: str = "vec_id", query_key: str = "query_id") -> DataFrame:
+    """Approximate cosine top-k: candidates = data vectors whose SRP sketch
+    is within Hamming distance 1 of the query's sketch (multi-probe)."""
+    d = embeddings.select(F.col(key_col), as_double_array(F.col(vec_col)).alias("v"))
+    d = d.withColumn("bucket", srp_sketch(F.col("v"), dim, bits))
+    q = queries.select(F.col(query_key), as_double_array(F.col(vec_col)).alias("qv"))
+    q = q.withColumn("sketch", srp_sketch(F.col("qv"), dim, bits))
+    probes = F.array(F.col("sketch"),
+                     *[F.col("sketch").bitwiseXOR(F.lit(1 << b).cast("long"))
+                       for b in range(bits)])
+    q = q.withColumn("bucket", F.explode(probes))
+    scored = (d.join(F.broadcast(q), "bucket")
+              .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("v")), 4)))
+    w = Window.partitionBy(query_key).orderBy(F.desc("cos_sim"), F.col(key_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .dropDuplicates([query_key, key_col])
+            .select(query_key, key_col, "cos_sim", "rank"))
+
+
+def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                          vec_col: str = "embedding", key_col: str = "vec_id",
+                          dim: int = 64, bits: int = 12) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP bucket self-join."""
+    d = embeddings.select(F.col(key_col), as_double_array(F.col(vec_col)).alias("v"))
+    d = d.withColumn("bucket", srp_sketch(F.col("v"), dim, bits))
+    l = d.select(F.col("bucket"), F.col(key_col).alias("id_a"), F.col("v").alias("va"))
+    r = d.select(F.col("bucket"), F.col(key_col).alias("id_b"), F.col("v").alias("vb"))
+    return (l.join(r, "bucket").where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+            .where(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim").distinct())

@@ -39,66 +39,97 @@ from ..kernel.coverer import RegionCoverer
 from ..kernel.loops import Loop, Polygon
 
 
-def build_coverings(polygons: dict[int, Polygon], max_cells: int = 8,
+def build_coverings(polygons: dict[int, Polygon], max_cells: int = 64,
                     interior_max_cells: int | None = None) -> pd.DataFrame:
-    """Exterior + interior coverings for each polygon (driver-side; each
-    covering is <= max_cells rows)."""
+    """Disjoint per-polygon candidate cells: interior covering I (accept
+    fast, mirroring the coverer's interior fast-accept,
+    S2RegionCoverer.cs:312-329) plus the skin E \\ I (exact-test cells),
+    where E is the exterior covering and the set difference is cell-union
+    range recursion.
+
+    Disjointness means a point matches AT MOST ONE covering cell per
+    polygon -> the probe join needs no dedup shuffle, and only skin matches
+    pay the exact parity kernel.  max_cells defaults higher than the
+    reference's 8: covering size only costs broadcast bytes here, while a
+    finer covering shrinks the skin."""
+    from ..kernel.cellunion import difference, normalize
     rows = []
     cov = RegionCoverer(max_cells=max_cells)
     icov = RegionCoverer(max_cells=interior_max_cells or 4 * max_cells)
     for pid, poly in polygons.items():
-        exterior = cov.get_covering(poly)
-        interior = set(int(v) for v in icov.get_interior_covering(poly))
-        # interior cells are a subset of the area; emit them as accept-fast
-        # rows and subtract them from the exterior's exact-test load by
-        # emitting exterior cells as-is (a candidate may match both; the
-        # join dedups by taking max(is_interior)).
-        for cid in exterior:
-            rows.append((pid, int(ci.to_signed(np.array([cid], dtype=np.uint64))[0]),
-                         int(ci.level_of(np.array([cid], dtype=np.uint64))[0]), False))
-        for cid in interior:
-            rows.append((pid, int(ci.to_signed(np.array([cid], dtype=np.uint64))[0]),
-                         int(ci.level_of(np.array([cid], dtype=np.uint64))[0]), True))
+        key = (tuple(lp.vertices.tobytes() for lp in poly.loops),
+               tuple(lp.depth for lp in poly.loops),
+               max_cells, interior_max_cells)
+        cached = _COVERING_CACHE.get(key)
+        if cached is None:
+            exterior = normalize(cov.get_covering(poly))
+            interior = normalize(icov.get_interior_covering(poly))
+            skin = difference(exterior, interior)
+            cached = [(int(ci.to_signed(np.array([c], dtype=np.uint64))[0]),
+                       int(ci.level_of(np.array([c], dtype=np.uint64))[0]), flag)
+                      for c, flag in
+                      [(c, True) for c in interior] + [(c, False) for c in skin]]
+            _COVERING_CACHE[key] = cached
+        rows.extend((pid, cell, level, flag) for cell, level, flag in cached)
     return pd.DataFrame(rows, columns=["polygon_id", "cov_cell_id", "cov_level", "is_interior"])
+
+
+# coverings are pure functions of (loops, params); memoize driver-side so
+# repeated joins against the same polygons skip the coverer entirely
+_COVERING_CACHE: dict = {}
 
 
 def _make_contains_udf(spark: SparkSession, polygons: dict[int, Polygon]):
     """Pandas UDF (polygon_id, x, y, z) -> bool, vectorized per polygon
-    group inside each Arrow batch; polygon vertices ride a broadcast."""
+    group inside each Arrow batch; polygon vertices ride a broadcast.
+
+    Null x marks a row that must NOT be refined (interior fast-accept) —
+    the UDF skips it for free, which lets the caller run one single pass
+    instead of splitting interior/exterior branches (each branch would
+    re-evaluate the whole upstream pipeline).
+
+    The reconstructed Polygon objects live in closure state shared by all
+    Arrow batches of a task (construction computes loop bounds + origin
+    parity, so per-batch rebuilds would dominate)."""
     spec = {int(pid): [(lp.vertices, lp.depth) for lp in poly.loops]
             for pid, poly in polygons.items()}
     bc = spark.sparkContext.broadcast(spec)
+    state: dict[int, Polygon] = {}
 
     @F.pandas_udf(BooleanType())
     def polygon_contains(pid: pd.Series, x: pd.Series, y: pd.Series,
                          z: pd.Series) -> pd.Series:
-        cache: dict[int, Polygon] = {}
+        if not state:
+            for p, loops_spec in bc.value.items():
+                state[int(p)] = Polygon([Loop(v, depth=d) for v, d in loops_spec])
         out = np.zeros(len(pid), dtype=bool)
+        valid = x.notna().to_numpy()
+        if not valid.any():
+            return pd.Series(out)
         xs = x.to_numpy(np.float64)
         ys = y.to_numpy(np.float64)
         zs = z.to_numpy(np.float64)
         pids = pid.to_numpy(np.int64)
-        for p in np.unique(pids):
-            poly = cache.get(int(p))
-            if poly is None:
-                loops = [Loop(v, depth=d) for v, d in bc.value[int(p)]]
-                poly = cache[int(p)] = Polygon(loops)
-            m = pids == p
-            out[m] = poly.contains_points(xs[m], ys[m], zs[m])
+        for p in np.unique(pids[valid]):
+            m = valid & (pids == p)
+            out[m] = state[int(p)].contains_points(xs[m], ys[m], zs[m])
         return pd.Series(out)
 
     return polygon_contains
 
 
 def spatial_join(spark: SparkSession, points: DataFrame,
-                 polygons: dict[int, Polygon], max_cells: int = 8,
+                 polygons: dict[int, Polygon], max_cells: int = 64,
                  cell_col: str = "cell_id") -> DataFrame:
     """points (with leaf `cell_col` and x,y,z unit-vector columns) ->
     rows augmented with polygon_id for every containing polygon.
 
-    The covering side is broadcast; the probe explodes each point to one
-    ancestor key per distinct covering level (<= ~10 keys) and hash-joins.
-    """
+    Zero-shuffle plan: the covering side is broadcast; the probe explodes
+    each point to one ancestor key per distinct covering level (<= ~10
+    keys) and hash-joins; covering disjointness guarantees <= 1 match per
+    (point, polygon), so no dedup aggregation is needed.  The exact parity
+    kernel runs ONLY on exterior-cell matches (a filter on the match, not
+    an OR the optimizer might evaluate eagerly)."""
     cov_pdf = build_coverings(polygons, max_cells=max_cells)
     cov_df = spark.createDataFrame(cov_pdf)
     levels = sorted(cov_pdf["cov_level"].unique().tolist())
@@ -106,21 +137,17 @@ def spatial_join(spark: SparkSession, points: DataFrame,
     probe_keys = F.array(*[C.parent_for_level(F.col(cell_col), int(lv)) for lv in levels])
     probed = points.withColumn("probe_cell", F.explode(probe_keys))
 
-    joined = probed.join(F.broadcast(cov_df),
-                         probed["probe_cell"] == cov_df["cov_cell_id"], "inner")
-
-    # a point can match one polygon through several covering cells
-    # (interior + exterior, or multiple levels): collapse, preferring the
-    # interior bypass
-    point_cols = [c for c in points.columns]
-    grouped = (joined.groupBy(*point_cols, "polygon_id")
-               .agg(F.max("is_interior").alias("is_interior")))
+    joined = (probed.join(F.broadcast(cov_df),
+                          probed["probe_cell"] == cov_df["cov_cell_id"], "inner")
+              .drop("probe_cell", "cov_cell_id", "cov_level"))
 
     contains_udf = _make_contains_udf(spark, polygons)
-    exact = grouped.where(
-        F.col("is_interior")
-        | contains_udf(F.col("polygon_id"), F.col("x"), F.col("y"), F.col("z")))
-    return exact.drop("is_interior")
+    # single pass: interior rows feed the UDF nulls (skipped for free),
+    # exterior rows get the exact parity kernel; no branch re-evaluation
+    masked = F.when(~F.col("is_interior"), F.col("x"))
+    keep = F.col("is_interior") | contains_udf(
+        F.col("polygon_id"), masked, F.col("y"), F.col("z"))
+    return joined.where(keep).drop("is_interior")
 
 
 def points_with_cells(pages_geo: DataFrame, lat_col: str = "lat",

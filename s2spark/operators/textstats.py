@@ -1,0 +1,84 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path logic is JVM Column expressions (split/regexp/md5/bit ops) —
+no Python.  Hash derivations use md5 hex (identical across Spark, DuckDB,
+and Python) so every operator here is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword language
+# heuristic; chosen to be disjoint-ish and ASCII-stable
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "pt": ["de", "que", "em"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace + BPE-ish word/number/punct split, lowercased."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features (pure exprs)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
+    n_tok = F.size(toks)
+    n_stop = F.size(F.array_intersect(toks, F.lit(["the", "and", "of", "a", "to", "in"])))
+    return df.withColumns({
+        "n_chars_q": n_chars,
+        "n_tokens": n_tok,
+        "alpha_ratio": F.round(n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
+        "digit_ratio": F.round(n_digit.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
+        "punct_ratio": F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
+        "mean_token_len": F.round(n_chars.cast("double") / F.greatest(n_tok, F.lit(1)), 6),
+        "stopword_ratio": F.round(n_stop.cast("double") / F.greatest(n_tok, F.lit(1)), 6),
+    })
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Marker-stopword language heuristic: argmax over per-language
+    distinct-marker hits (deterministic tie-break by language code)."""
+    toks = tokens(F.col(text_col))
+    scores = [
+        F.struct(F.size(F.array_intersect(toks, F.lit(words))).alias("score"),
+                 F.lit(lang).alias("lang"))
+        for lang, words in sorted(LANG_MARKERS.items(), reverse=True)
+    ]
+    best = F.greatest(*scores)
+    return df.withColumn(
+        out, F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")))
+
+
+def fingerprint(col: Column) -> Column:
+    """64-bit document fingerprint: md5 of whitespace-normalized lowercase
+    text, top 16 hex digits as a signed long (portable across engines)."""
+    norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    hex16 = F.substring(F.md5(norm), 1, 16)
+    # conv returns the two's-complement string for values >= 2^63 when cast
+    # via unsigned parse; map into signed range with the same bias trick
+    return F.conv(hex16, 16, -10).cast("long")
+
+
+def doc_stats(documents: DataFrame) -> DataFrame:
+    """Per-language corpus stats over quality features."""
+    q = quality_features(documents)
+    return (q.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+                 F.round(F.avg("alpha_ratio"), 4).alias("avg_alpha_ratio"),
+                 F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio")))
