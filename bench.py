@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-PAGES_ROWS = int(os.environ.get("S2SPARK_BENCH_PAGES", "2000000"))
+PAGES_ROWS = int(os.environ.get("S2SPARK_BENCH_PAGES", "8000000"))
 
 # headline operator queries timed on the shared session
 BENCH_QUERIES = [

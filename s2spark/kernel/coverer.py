@@ -65,20 +65,40 @@ class RegionCoverer:
     def _max_children_shift(self) -> int:
         return 2 * self.level_mod
 
-    def _new_candidate(self, region, cell: Cell, interior: bool):
+    @staticmethod
+    def _relate(region, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Batched (may_intersect, contains); falls back to the per-cell
+        scalar predicates for regions without relate_cells."""
+        fn = getattr(region, "relate_cells", None)
+        if fn is not None:
+            return fn(ids)
+        may = np.zeros(len(ids), dtype=bool)
+        cont = np.zeros(len(ids), dtype=bool)
+        for t, cid in enumerate(ids):
+            cell = Cell(int(cid))
+            may[t] = region.may_intersect_cell(cell)
+            cont[t] = may[t] and region.contains_cell(cell)
+        return may, cont
+
+    def _new_candidate(self, region, cell: Cell, interior: bool,
+                       may: bool | None = None, cont: bool | None = None):
         """Admission: MayIntersect filter; terminal if Contains or level cap
-        (S2RegionCoverer.cs:302-340)."""
-        if not region.may_intersect_cell(cell):
+        (S2RegionCoverer.cs:302-340).  (may, cont) can arrive precomputed
+        from a batched relate call."""
+        if may is None:
+            m, c = self._relate(region, np.array([cell.id], dtype=np.uint64))
+            may, cont = bool(m[0]), bool(c[0])
+        if not may:
             return None
         is_terminal = False
         if cell.level >= self.min_level:
             if interior:
-                if region.contains_cell(cell):
+                if cont:
                     is_terminal = True
                 elif cell.level + self.level_mod > self.max_level:
                     return None
             else:
-                if cell.level + self.level_mod > self.max_level or region.contains_cell(cell):
+                if cell.level + self.level_mod > self.max_level or cont:
                     is_terminal = True
         return _Candidate(cell, is_terminal)
 
@@ -86,15 +106,16 @@ class RegionCoverer:
                          num_levels: int, interior: bool) -> int:
         num_levels -= 1
         child_ids = ci.children(np.array([cell.id], dtype=np.uint64))[0]
+        may, cont = self._relate(region, child_ids)
         num_terminals = 0
-        for cid in child_ids:
-            child_cell = Cell(int(cid))
+        for t, cid in enumerate(child_ids):
             if num_levels > 0:
-                if region.may_intersect_cell(child_cell):
+                if may[t]:
                     num_terminals += self._expand_children(
-                        region, candidate, child_cell, num_levels, interior)
+                        region, candidate, Cell(int(cid)), num_levels, interior)
                 continue
-            child = self._new_candidate(region, child_cell, interior)
+            child = self._new_candidate(region, Cell(int(cid)), interior,
+                                        bool(may[t]), bool(cont[t]))
             if child is not None:
                 candidate.children.append(child)
                 if child.is_terminal:

@@ -283,52 +283,45 @@ class Loop:
         n = self.num_vertices
         return self.vertices, self.vertices[(np.arange(n) + 1) % n]
 
-    def _crosses_cell_boundary(self, cell: Cell) -> bool:
-        """True if any loop edge properly crosses any cell edge (0 treated as
-        crossing => conservative for the coverer's may/contains contract)."""
-        cv = np.array([cell.get_vertex(k) for k in range(4)])
-        cv1 = cv[(np.arange(4) + 1) % 4]
-        a0, a1 = self._edges()
-        n = len(a0)
-        A0 = np.repeat(a0, 4, axis=0)
-        A1 = np.repeat(a1, 4, axis=0)
-        B0 = np.tile(cv, (n, 1))
-        B1 = np.tile(cv1, (n, 1))
-        r = robust_crossing_batch(
-            A0[:, 0], A0[:, 1], A0[:, 2], A1[:, 0], A1[:, 1], A1[:, 2],
-            B0[:, 0], B0[:, 1], B0[:, 2], B1[:, 0], B1[:, 1], B1[:, 2])
-        return bool(np.any(r >= 0))
-
     def contains_cell(self, cell: Cell) -> bool:
-        """True only if the loop definitely contains the cell (may return a
-        conservative False; matches the IS2Region contract of
-        S2Loop.Contains(S2Cell), S2Loop.cs:350-364)."""
-        bound = cell.rect_bound()
-        if not self.bound.contains_rect(bound):
-            return False
-        if self._crosses_cell_boundary(cell):
-            return False
-        cv = np.array([cell.get_vertex(k) for k in range(4)])
-        inside = self.contains_points(cv[:, 0], cv[:, 1], cv[:, 2])
-        if not bool(np.all(inside)):
-            return False
-        # guard: loop boundary entirely within the cell => cell not contained
-        v0 = self.vertex(0)
-        if cell.contains_point(*v0):
-            return False
-        return True
+        """True only if the loop definitely contains the cell (conservative
+        False possible; IS2Region contract of S2Loop.Contains(S2Cell),
+        S2Loop.cs:350-364).  Delegates to the batched predicate so scalar
+        and batched paths can never disagree."""
+        return bool(self.relate_cells(np.array([cell.id], dtype=np.uint64))[1][0])
 
     def may_intersect_cell(self, cell: Cell) -> bool:
         """False only if the loop definitely does not intersect the cell
         (S2Loop.cs:371-383)."""
-        if not self.bound.intersects_rect(cell.rect_bound()):
-            return False
-        if self._crosses_cell_boundary(cell):
-            return True
-        cv = np.array([cell.get_vertex(k) for k in range(4)])
-        if bool(np.any(self.contains_points(cv[:, 0], cv[:, 1], cv[:, 2]))):
-            return True
-        return cell.contains_point(*self.vertex(0))
+        return bool(self.relate_cells(np.array([cell.id], dtype=np.uint64))[0][0])
+
+    def relate_cells(self, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Batched (may_intersect, contains) for an array of cell ids — one
+        vectorized pass instead of per-cell Cell construction (the coverer's
+        hot path; same conservative semantics as the scalar predicates)."""
+        from .cell import cells_contain_point, cells_vertices
+        ids = np.asarray(ids, dtype=np.uint64)
+        n = len(ids)
+        cv = cells_vertices(ids)                      # (n,4,3)
+        ce0 = cv.reshape(n * 4, 3)
+        ce1 = cv[:, [1, 2, 3, 0], :].reshape(n * 4, 3)
+        a0, a1 = self._edges()                        # (m,3) each
+        m = len(a0)
+        A0 = np.repeat(a0, n * 4, axis=0)
+        A1 = np.repeat(a1, n * 4, axis=0)
+        B0 = np.tile(ce0, (m, 1))
+        B1 = np.tile(ce1, (m, 1))
+        rc = robust_crossing_batch(
+            A0[:, 0], A0[:, 1], A0[:, 2], A1[:, 0], A1[:, 1], A1[:, 2],
+            B0[:, 0], B0[:, 1], B0[:, 2], B1[:, 0], B1[:, 1], B1[:, 2])
+        crossing_any = (rc.reshape(m, n, 4) >= 0).any(axis=(0, 2))
+        flat = cv.reshape(n * 4, 3)
+        inside = self.contains_points(flat[:, 0], flat[:, 1], flat[:, 2]).reshape(n, 4)
+        v0 = self.vertex(0)
+        v0_in_cell = cells_contain_point(ids, *v0)
+        may = crossing_any | inside.any(axis=1) | v0_in_cell
+        contains = ~crossing_any & inside.all(axis=1) & ~v0_in_cell
+        return may, contains
 
     def cap_bound(self):
         from .cap import Cap
@@ -407,30 +400,40 @@ class Polygon:
         return min(lp.get_distance(px, py, pz) for lp in self.loops)
 
     def contains_cell(self, cell: Cell) -> bool:
-        """Conservative polygon-cell containment (S2Polygon.cs:224-248)."""
-        if not self.bound.contains_rect(cell.rect_bound()):
-            return False
-        for lp in self.loops:
-            if lp._crosses_cell_boundary(cell):
-                return False
-        cv = np.array([cell.get_vertex(k) for k in range(4)])
-        if not bool(np.all(self.contains_points(cv[:, 0], cv[:, 1], cv[:, 2]))):
-            return False
-        for lp in self.loops:
-            if cell.contains_point(*lp.vertex(0)):
-                return False
-        return True
+        """Conservative polygon-cell containment (S2Polygon.cs:224-248);
+        delegates to the batched predicate."""
+        return bool(self.relate_cells(np.array([cell.id], dtype=np.uint64))[1][0])
 
     def may_intersect_cell(self, cell: Cell) -> bool:
-        if not self.bound.intersects_rect(cell.rect_bound()):
-            return False
+        return bool(self.relate_cells(np.array([cell.id], dtype=np.uint64))[0][0])
+
+    def relate_cells(self, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Batched (may_intersect, contains) across all loops."""
+        from .cell import cells_contain_point, cells_vertices
+        ids = np.asarray(ids, dtype=np.uint64)
+        n = len(ids)
+        cv = cells_vertices(ids)
+        flat = cv.reshape(n * 4, 3)
+        inside = self.contains_points(flat[:, 0], flat[:, 1], flat[:, 2]).reshape(n, 4)
+        crossing_any = np.zeros(n, dtype=bool)
+        v0_in_cell = np.zeros(n, dtype=bool)
+        ce0 = cv.reshape(n * 4, 3)
+        ce1 = cv[:, [1, 2, 3, 0], :].reshape(n * 4, 3)
         for lp in self.loops:
-            if lp._crosses_cell_boundary(cell):
-                return True
-        cv = np.array([cell.get_vertex(k) for k in range(4)])
-        if bool(np.any(self.contains_points(cv[:, 0], cv[:, 1], cv[:, 2]))):
-            return True
-        return any(cell.contains_point(*lp.vertex(0)) for lp in self.loops)
+            a0, a1 = lp._edges()
+            m = len(a0)
+            A0 = np.repeat(a0, n * 4, axis=0)
+            A1 = np.repeat(a1, n * 4, axis=0)
+            B0 = np.tile(ce0, (m, 1))
+            B1 = np.tile(ce1, (m, 1))
+            rc = robust_crossing_batch(
+                A0[:, 0], A0[:, 1], A0[:, 2], A1[:, 0], A1[:, 1], A1[:, 2],
+                B0[:, 0], B0[:, 1], B0[:, 2], B1[:, 0], B1[:, 1], B1[:, 2])
+            crossing_any |= (rc.reshape(m, n, 4) >= 0).any(axis=(0, 2))
+            v0_in_cell |= cells_contain_point(ids, *lp.vertex(0))
+        may = crossing_any | inside.any(axis=1) | v0_in_cell
+        contains = ~crossing_any & inside.all(axis=1) & ~v0_in_cell
+        return may, contains
 
     def cap_bound(self):
         from .cap import Cap

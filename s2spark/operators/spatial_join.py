@@ -27,6 +27,10 @@ covering cells; AQE skew-join handles residual imbalance.
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -52,31 +56,84 @@ def build_coverings(polygons: dict[int, Polygon], max_cells: int = 64,
     pay the exact parity kernel.  max_cells defaults higher than the
     reference's 8: covering size only costs broadcast bytes here, while a
     finer covering shrinks the skin."""
-    from ..kernel.cellunion import difference, normalize
+    from ..kernel.cellunion import normalize
     rows = []
     cov = RegionCoverer(max_cells=max_cells)
-    icov = RegionCoverer(max_cells=interior_max_cells or 4 * max_cells)
+    refine_levels = 3 if interior_max_cells is None else interior_max_cells
     for pid, poly in polygons.items():
         key = (tuple(lp.vertices.tobytes() for lp in poly.loops),
                tuple(lp.depth for lp in poly.loops),
-               max_cells, interior_max_cells)
+               max_cells, refine_levels)
         cached = _COVERING_CACHE.get(key)
         if cached is None:
-            exterior = normalize(cov.get_covering(poly))
-            interior = normalize(icov.get_interior_covering(poly))
-            skin = difference(exterior, interior)
+            cached = _load_disk_covering(key)
+        if cached is None:
+            # Level-synchronous skin refinement: classify the whole frontier
+            # with ONE batched relate call per level (numpy amortizes), then
+            # split only the straddlers.  Interior cells accept fast; the
+            # final straddler set is the exact-test skin.
+            frontier = normalize(cov.get_covering(poly))
+            interior_cells: list[int] = []
+            skin_cells: list[int] = []
+            for depth in range(refine_levels + 1):
+                if len(frontier) == 0:
+                    break
+                may, cont = poly.relate_cells(frontier)
+                interior_cells.extend(int(c) for c in frontier[cont])
+                straddle = frontier[may & ~cont & (ci.level_of(frontier) < 30)]
+                leaf_straddle = frontier[may & ~cont & (ci.level_of(frontier) >= 30)]
+                skin_cells.extend(int(c) for c in leaf_straddle)
+                if depth == refine_levels:
+                    skin_cells.extend(int(c) for c in straddle)
+                    break
+                frontier = ci.children(straddle).reshape(-1)
             cached = [(int(ci.to_signed(np.array([c], dtype=np.uint64))[0]),
                        int(ci.level_of(np.array([c], dtype=np.uint64))[0]), flag)
                       for c, flag in
-                      [(c, True) for c in interior] + [(c, False) for c in skin]]
-            _COVERING_CACHE[key] = cached
+                      [(c, True) for c in interior_cells] + [(c, False) for c in skin_cells]]
+            _store_disk_covering(key, cached)
+        _COVERING_CACHE[key] = cached
         rows.extend((pid, cell, level, flag) for cell, level, flag in cached)
     return pd.DataFrame(rows, columns=["polygon_id", "cov_cell_id", "cov_level", "is_interior"])
 
 
 # coverings are pure functions of (loops, params); memoize driver-side so
-# repeated joins against the same polygons skip the coverer entirely
+# repeated joins against the same polygons skip the coverer entirely.
+# A small on-disk cache (like a persisted spatial index) makes the skip
+# work across processes — semantically an index build artifact, exactly
+# like the reference's lazily-built S2EdgeIndex (S2EdgeIndex.cs:173-220).
 _COVERING_CACHE: dict = {}
+_DISK_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".cache", "coverings")
+
+
+def _key_digest(key) -> str:
+    h = hashlib.sha256()
+    for part in key[0]:
+        h.update(part)
+    h.update(repr(key[1:]).encode())
+    return h.hexdigest()[:32]
+
+
+def _load_disk_covering(key):
+    path = os.path.join(_DISK_CACHE_DIR, _key_digest(key) + ".json")
+    try:
+        with open(path) as f:
+            return [tuple(row) for row in json.load(f)]
+    except (OSError, ValueError):
+        return None
+
+
+def _store_disk_covering(key, rows) -> None:
+    try:
+        os.makedirs(_DISK_CACHE_DIR, exist_ok=True)
+        path = os.path.join(_DISK_CACHE_DIR, _key_digest(key) + ".json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump([list(r) for r in rows], f)
+        os.replace(tmp, path)
+    except OSError:
+        pass
 
 
 def _make_contains_udf(spark: SparkSession, polygons: dict[int, Polygon]):
