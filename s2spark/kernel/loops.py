@@ -74,6 +74,34 @@ def robust_crossing_batch(ax, ay, az, bx, by, bz, cx, cy, cz, dx, dy, dz):
     return out
 
 
+def _occw(a, b, c, o) -> bool:
+    return bool(sphere.ordered_ccw(
+        np.float64(a[0]), np.float64(a[1]), np.float64(a[2]),
+        np.float64(b[0]), np.float64(b[1]), np.float64(b[2]),
+        np.float64(c[0]), np.float64(c[1]), np.float64(c[2]),
+        np.float64(o[0]), np.float64(o[1]), np.float64(o[2]))[0])
+
+
+def _wedge_contains(a0, ab1, a2, b0, b2) -> int:
+    """+1 if wedge A contains wedge B (S2EdgeUtil.cs:610-625)."""
+    return 1 if (_occw(a2, b2, b0, ab1) and _occw(b0, a0, a2, ab1)) else 0
+
+
+def _wedge_intersects(a0, ab1, a2, b0, b2) -> int:
+    """-1 if the wedges intersect (S2EdgeUtil.cs:588-608)."""
+    return 0 if (_occw(a0, b2, b0, ab1) and _occw(b0, a2, a0, ab1)) else -1
+
+
+def _wedge_contains_or_crosses(a0, ab1, a2, b0, b2) -> int:
+    """+1 A contains B, 0 disjoint-or-B-contains-A, -1 crossing
+    (S2EdgeUtil.cs:506-556)."""
+    if _occw(a0, a2, b2, ab1):
+        if _occw(b2, b0, a0, ab1):
+            return 1
+        return 0 if a2 == b2 else -1
+    return 0 if _occw(a0, b0, a2, ab1) else -1
+
+
 class Loop:
     """Single loop with precomputed bound + origin-inside bit."""
 
@@ -294,6 +322,97 @@ class Loop:
         """False only if the loop definitely does not intersect the cell
         (S2Loop.cs:371-383)."""
         return bool(self.relate_cells(np.array([cell.id], dtype=np.uint64))[0][0])
+
+    # -- loop-loop relations (S2Loop.cs:577-758) --------------------------------
+
+    def find_vertex(self, p: tuple[float, float, float]) -> int:
+        """Index (1..n) of a vertex equal to p, or -1 (S2Loop.cs:971-994)."""
+        for i in range(1, self.num_vertices + 1):
+            if self.vertex(i) == p:
+                return i
+        return -1
+
+    def _check_edge_crossings(self, b: "Loop", wedge_test) -> int:
+        """-1 on any proper edge crossing; else min wedge relation over
+        shared vertices; +1 if neither (S2Loop.cs:1003-1045).  Brute force
+        over edge pairs, crossing tests batched."""
+        m, k = self.num_vertices, b.num_vertices
+        a0, a1 = self._edges()
+        b0, b1 = b._edges()
+        A0 = np.repeat(a0, k, axis=0)
+        A1 = np.repeat(a1, k, axis=0)
+        B0 = np.tile(b0, (m, 1))
+        B1 = np.tile(b1, (m, 1))
+        rc = robust_crossing_batch(
+            B0[:, 0], B0[:, 1], B0[:, 2], B1[:, 0], B1[:, 1], B1[:, 2],
+            A0[:, 0], A0[:, 1], A0[:, 2], A1[:, 0], A1[:, 1], A1[:, 2]).reshape(m, k)
+        if np.any(rc > 0):
+            return -1
+        result = 1
+        for i in range(m):
+            for j in range(k):
+                if self.vertex(i + 1) == b.vertex(j + 1):
+                    result = min(result, wedge_test(
+                        self.vertex(i), self.vertex(i + 1), self.vertex(i + 2),
+                        b.vertex(j), b.vertex(j + 2)))
+                    if result < 0:
+                        return result
+        return result
+
+    def contains_loop(self, b: "Loop") -> bool:
+        """S2Loop.Contains(S2Loop) (S2Loop.cs:577-627)."""
+        if not self.bound.contains_rect(b.bound):
+            return False
+        if not self._contains_vertex(b.vertex(0)) and self.find_vertex(b.vertex(0)) < 0:
+            return False
+        if self._check_edge_crossings(b, _wedge_contains) <= 0:
+            return False
+        if self.bound.union(b.bound).is_full:
+            if b._contains_vertex(self.vertex(0)) and b.find_vertex(self.vertex(0)) < 0:
+                return False
+        return True
+
+    def intersects_loop(self, b: "Loop") -> bool:
+        """S2Loop.Intersects(S2Loop) (S2Loop.cs:633-684)."""
+        if not self.bound.intersects_rect(b.bound):
+            return False
+        if b.bound.lng.length > self.bound.lng.length:
+            return b.intersects_loop(self)
+        if self._contains_vertex(b.vertex(0)) and self.find_vertex(b.vertex(0)) < 0:
+            return True
+        if self._check_edge_crossings(b, _wedge_intersects) < 0:
+            return True
+        if b.bound.contains_rect(self.bound):
+            if b._contains_vertex(self.vertex(0)) and b.find_vertex(self.vertex(0)) < 0:
+                return True
+        return False
+
+    def contains_nested(self, b: "Loop") -> bool:
+        """S2Loop.ContainsNested (S2Loop.cs:690-708)."""
+        if not self.bound.contains_rect(b.bound):
+            return False
+        m = self.find_vertex(b.vertex(1))
+        if m < 0:
+            return self._contains_vertex(b.vertex(1))
+        return _wedge_contains(self.vertex(m - 1), self.vertex(m),
+                               self.vertex(m + 1), b.vertex(0), b.vertex(2)) > 0
+
+    def contains_or_crosses(self, b: "Loop") -> int:
+        """+1 contains, -1 boundaries cross, 0 otherwise (S2Loop.cs:716-758)."""
+        if not self.bound.intersects_rect(b.bound):
+            return 0
+        result = self._check_edge_crossings(b, _wedge_contains_or_crosses)
+        if result <= 0:
+            return result
+        if not self.bound.contains_rect(b.bound):
+            return 0
+        if not self._contains_vertex(b.vertex(0)) and self.find_vertex(b.vertex(0)) < 0:
+            return 0
+        return 1
+
+    def _contains_vertex(self, p: tuple[float, float, float]) -> bool:
+        return bool(self.contains_points(np.array([p[0]]), np.array([p[1]]),
+                                         np.array([p[2]]))[0])
 
     def relate_cells(self, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Batched (may_intersect, contains) for an array of cell ids — one
