@@ -171,6 +171,19 @@ def _q_containment_ranges(spark, sf_dir):
             .groupBy("polygon_id").agg(F.count(F.lit(1)).alias("n_candidates")))
 
 
+def _q_point_in_polygon_shuffle(spark, sf_dir):
+    """Same join semantics as s2_point_in_polygon but through the
+    shuffle/salted plan for non-broadcastable polygon sets."""
+    from s2spark.operators.spatial_join_shuffle import (polygons_to_df,
+                                                        spatial_join_shuffle)
+    pts = points_with_cells(_docs_geo(spark, sf_dir))
+    pdf = polygons_to_df(spark, _JOIN_POLYGONS)
+    out = spatial_join_shuffle(
+        spark, pts.select("doc_id", "cell_id", "x", "y", "z"), pdf,
+        hot_threshold=200, n_salt=4, point_key="doc_id")
+    return out.select("doc_id", "polygon_id")
+
+
 def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_read(spark, sf_dir, "documents"))
 
@@ -279,6 +292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_tile_topk": _q_tile_topk,
         "s2_cell_topology": _q_topology,
         "s2_point_in_polygon": _q_point_in_polygon,
+        "s2_point_in_polygon_shuffle": _q_point_in_polygon_shuffle,
         "s2_containment_ranges": _q_containment_ranges,
         "s2_knn_join": _q_knn,
         "dedup_exact": _q_dedup_exact,
@@ -441,6 +455,9 @@ def oracle_sql() -> dict[str, str]:
             f"{sql_parent_for_level('cell_id', 8)} + {(1 << (2 * (30 - 8))) - 1} AS rmax8, "
             f"8 AS lvl8, TRUE AS p8_contains_leaf FROM encoded"),
         "s2_point_in_polygon": (
+            f"WITH src AS ({_DOCS_GEO_SQL}), {CELL_ID_FROM_LATLNG_CTES}, "
+            f"pts AS (SELECT doc_id, px, py, pz FROM encoded) {pip_union}"),
+        "s2_point_in_polygon_shuffle": (
             f"WITH src AS ({_DOCS_GEO_SQL}), {CELL_ID_FROM_LATLNG_CTES}, "
             f"pts AS (SELECT doc_id, px, py, pz FROM encoded) {pip_union}"),
         "s2_containment_ranges": encode_query(

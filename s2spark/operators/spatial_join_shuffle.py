@@ -1,0 +1,180 @@
+"""Shuffle-based point-in-polygon join for LARGE polygon sets.
+
+The broadcast plan in spatial_join.py assumes the covering side fits on
+every executor.  At web scale the query side can be millions of polygons
+(admin boundaries, geofences): coverings become a real table, the join
+becomes a shuffle hash join on covering cells, and hot cells (cities)
+need salting because a single hot key lands one reducer with the whole
+city (AQE splits partitions, not keys, and the exact-refine kernel cost
+rides with the rows).
+
+Pipeline:
+1. build_coverings_distributed: one applyInPandas group per polygon runs
+   the same coverer + level-synchronous skin refinement used driver-side
+   (SURVEY.md §3.2: parallelism is across polygons, never inside one
+   covering).
+2. hot-cell detection: a cheap pre-aggregation counts probe hits per
+   covering cell; cells above the threshold get salted R ways
+   (the explicit mechanism the north_star requires — AQE alone cannot
+   split a single key).
+3. salted equi-join probe: points explode to (ancestor-at-level, salt).
+4. exact refine: exterior-cell matches cogroup with polygon vertices by
+   polygon_id and run the crossing-parity kernel per group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, BooleanType, DoubleType,
+                               IntegerType, LongType, StructField, StructType)
+
+from ..functions import columns as C
+from ..kernel import cellid as ci
+from ..kernel.cellunion import normalize
+from ..kernel.coverer import RegionCoverer
+from ..kernel.loops import Loop, Polygon
+
+POLYGON_SCHEMA = StructType([
+    StructField("polygon_id", LongType()),
+    StructField("loop_idx", IntegerType()),
+    StructField("depth", IntegerType()),
+    StructField("vertices", ArrayType(ArrayType(DoubleType()))),
+])
+
+COVERING_SCHEMA = StructType([
+    StructField("polygon_id", LongType()),
+    StructField("cov_cell_id", LongType()),
+    StructField("cov_level", IntegerType()),
+    StructField("is_interior", BooleanType()),
+])
+
+
+def polygons_to_df(spark: SparkSession, polygons: dict[int, Polygon]) -> DataFrame:
+    rows = []
+    for pid, poly in polygons.items():
+        for li, lp in enumerate(poly.loops):
+            rows.append((pid, li, lp.depth,
+                         [[float(v) for v in row] for row in lp.vertices]))
+    return spark.createDataFrame(rows, POLYGON_SCHEMA)
+
+
+def _polygon_from_group(pdf: pd.DataFrame) -> Polygon:
+    loops = []
+    for _, row in pdf.sort_values("loop_idx").iterrows():
+        verts = np.stack([np.asarray(v, dtype=np.float64) for v in row["vertices"]])
+        loops.append(Loop(verts, depth=int(row["depth"])))
+    return Polygon(loops)
+
+
+def build_coverings_distributed(polygons_df: DataFrame, max_cells: int = 64,
+                                refine_levels: int = 3) -> DataFrame:
+    """coverings(polygon_id, cov_cell_id, cov_level, is_interior) — one
+    coverer run per polygon group, parallel across polygons."""
+
+    def cover_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        poly = _polygon_from_group(pdf)
+        pid = int(pdf["polygon_id"].iloc[0])
+        cov = RegionCoverer(max_cells=max_cells)
+        frontier = normalize(cov.get_covering(poly))
+        interior: list[int] = []
+        skin: list[int] = []
+        for depth in range(refine_levels + 1):
+            if len(frontier) == 0:
+                break
+            may, cont = poly.relate_cells(frontier)
+            interior.extend(int(c) for c in frontier[cont])
+            lv = ci.level_of(frontier)
+            straddle = frontier[may & ~cont & (lv < 30)]
+            skin.extend(int(c) for c in frontier[may & ~cont & (lv >= 30)])
+            if depth == refine_levels:
+                skin.extend(int(c) for c in straddle)
+                break
+            frontier = ci.children(straddle).reshape(-1)
+        cells = [(c, True) for c in interior] + [(c, False) for c in skin]
+        arr = np.array([c for c, _ in cells], dtype=np.uint64)
+        return pd.DataFrame({
+            "polygon_id": pid,
+            "cov_cell_id": ci.to_signed(arr) if len(cells) else np.array([], dtype=np.int64),
+            "cov_level": ci.level_of(arr) if len(cells) else np.array([], dtype=np.int64),
+            "is_interior": [f for _, f in cells],
+        })
+
+    return polygons_df.groupBy("polygon_id").applyInPandas(
+        cover_group, schema=COVERING_SCHEMA)
+
+
+def spatial_join_shuffle(spark: SparkSession, points: DataFrame,
+                         polygons_df: DataFrame,
+                         coverings: DataFrame | None = None,
+                         cell_col: str = "cell_id",
+                         n_salt: int = 8,
+                         hot_threshold: int = 2_000_000,
+                         point_key: str = "url") -> DataFrame:
+    """points (leaf cell_col + x,y,z) x polygons table -> (point rows,
+    polygon_id) via shuffle hash join on covering cells with hot-cell
+    salting, then grouped exact refine.
+
+    hot_threshold: probe-hits per covering cell above which the cell's
+    build rows are replicated n_salt ways (shuffle-key splitting).
+    """
+    if coverings is None:
+        coverings = build_coverings_distributed(polygons_df)
+    coverings = coverings.persist()
+    levels = [r[0] for r in
+              coverings.select("cov_level").distinct().orderBy("cov_level").collect()]
+
+    probe_keys = F.array(*[C.parent_for_level(F.col(cell_col), int(lv)) for lv in levels])
+    probed = points.withColumn("probe_cell", F.explode(probe_keys))
+
+    # hot-cell detection: probe hits per covering cell (semi-joined so we
+    # only count cells that exist on the build side)
+    cov_cells = coverings.select(F.col("cov_cell_id").alias("probe_cell")).distinct()
+    hits = (probed.join(cov_cells, "probe_cell", "left_semi")
+            .groupBy("probe_cell").agg(F.count(F.lit(1)).alias("n_hits")))
+    hot = [r[0] for r in hits.where(F.col("n_hits") >= hot_threshold)
+           .select("probe_cell").collect()]
+
+    if hot:
+        hot_lit = F.lit(hot)
+        probed = probed.withColumn(
+            "salt",
+            F.when(F.array_contains(hot_lit, F.col("probe_cell")),
+                   F.pmod(F.xxhash64(F.col(point_key)), F.lit(n_salt)).cast("int"))
+            .otherwise(F.lit(0)))
+        # (explode inside when() is illegal: build the salted side via union)
+        hot_rows = (coverings.where(F.array_contains(hot_lit, F.col("cov_cell_id")))
+                    .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+                    .withColumn("salt", F.col("salt").cast("int")))
+        cold_rows = (coverings.where(~F.array_contains(hot_lit, F.col("cov_cell_id")))
+                     .withColumn("salt", F.lit(0).cast("int")))
+        build = hot_rows.unionByName(cold_rows)
+        joined = probed.join(build,
+                             (probed.probe_cell == build.cov_cell_id)
+                             & (probed.salt == build.salt))
+        joined = joined.drop("salt")
+    else:
+        joined = probed.join(coverings, probed.probe_cell == coverings.cov_cell_id)
+    joined = joined.drop("probe_cell", "cov_cell_id", "cov_level")
+
+    interior = joined.where(F.col("is_interior")).drop("is_interior")
+    exterior = joined.where(~F.col("is_interior")).drop("is_interior")
+
+    # exact refine: cogroup exterior matches with polygon vertices
+    out_schema = StructType([f for f in exterior.schema.fields])
+
+    def refine(key, matches: pd.DataFrame, polys: pd.DataFrame) -> pd.DataFrame:
+        if len(matches) == 0 or len(polys) == 0:
+            return matches.iloc[0:0]
+        poly = _polygon_from_group(polys)
+        keep = poly.contains_points(matches["x"].to_numpy(np.float64),
+                                    matches["y"].to_numpy(np.float64),
+                                    matches["z"].to_numpy(np.float64))
+        return matches[keep]
+
+    refined = (exterior.groupBy("polygon_id")
+               .cogroup(polygons_df.groupBy("polygon_id"))
+               .applyInPandas(refine, schema=out_schema))
+    return interior.unionByName(refined)

@@ -1,0 +1,132 @@
+"""Spark-integration tests for the distributed operators (small local
+session; conformance anchored to the pure-kernel brute force)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from s2spark.functions import columns as C
+from s2spark.kernel import cellid as ci
+from s2spark.operators.spatial_join import points_with_cells, spatial_join
+from s2spark.operators.spatial_join_shuffle import (polygons_to_df,
+                                                    spatial_join_shuffle)
+from s2spark.operators.tiling import raster_to_vector, tile_counts, vector_to_raster
+from s2spark.sources.fixtures import make_polygon
+from s2spark.sources.pages import mine_coordinates, synthesize_pages
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from s2spark.plans.session import build_session
+    s = build_session(app_name="s2spark-tests", master="local[4]",
+                      shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def polygons():
+    return {1: make_polygon("-4:-4, -4:4, 4:4, 4:-4;"),
+            2: make_polygon("48.5:2.0, 48.5:2.7, 49.2:2.7, 49.2:2.0;")}
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    df = points_with_cells(
+        mine_coordinates(synthesize_pages(spark, 20000).select("url", "text")))
+    return df.select("url", "cell_id", "x", "y", "z").cache()
+
+
+def test_column_encode_matches_kernel(spark):
+    import pandas as pd
+    rng = np.random.default_rng(7)
+    lats = rng.uniform(-90, 90, 5000)
+    lngs = rng.uniform(-180, 180, 5000)
+    df = spark.createDataFrame(pd.DataFrame({"lat": lats, "lng": lngs}))
+    got = C.with_cell_id(df, "lat", "lng").select("lat", "lng", "cell_id").toPandas()
+    expect = ci.to_signed(ci.from_latlng_deg(got["lat"].to_numpy(), got["lng"].to_numpy()))
+    assert np.array_equal(got["cell_id"].to_numpy(), expect)
+
+
+def test_spatial_join_matches_bruteforce(spark, polygons, pts):
+    res = (spatial_join(spark, pts, polygons)
+           .groupBy("polygon_id").count().toPandas().set_index("polygon_id")["count"])
+    pdf = pts.select("x", "y", "z").toPandas()
+    for pid, poly in polygons.items():
+        expect = int(poly.contains_points(pdf["x"].to_numpy(), pdf["y"].to_numpy(),
+                                          pdf["z"].to_numpy()).sum())
+        assert int(res.get(pid, 0)) == expect
+
+
+def test_shuffle_join_equals_broadcast(spark, polygons, pts):
+    a = spatial_join(spark, pts, polygons).select("url", "polygon_id")
+    b = spatial_join_shuffle(spark, pts, polygons_to_df(spark, polygons),
+                             hot_threshold=500, n_salt=3).select("url", "polygon_id")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_text_byte_identity(spark):
+    """The miner must carry `text` byte-identical per url (north_star)."""
+    pages = synthesize_pages(spark, 3000).select("url", "text")
+    mined = mine_coordinates(pages)
+    joined = (pages.alias("a")
+              .join(mined.alias("b"), "url")
+              .where(F.col("a.text") != F.col("b.text")))
+    assert joined.count() == 0
+
+
+def test_raster_vector_roundtrip(spark, polygons):
+    """vector->raster at level L then raster->vector must normalize back to
+    a covering of the same area (supersets collapse to parents)."""
+    from s2spark.operators.spatial_join import build_coverings
+    cov = spark.createDataFrame(build_coverings(polygons))
+    cov = cov.select("polygon_id", F.col("cov_cell_id").alias("cell_id"))
+    L = 10
+    raster = vector_to_raster(cov, L)
+    assert raster.where(C.cell_level(F.col("tile_id")) != L).count() == 0
+    vec = raster_to_vector(raster)
+    # round trip: leaf coverage of the normalized vector == raster tiles
+    n_tiles = raster.select("polygon_id", "tile_id").distinct().count()
+    back = vector_to_raster(
+        vec.select("polygon_id", "cell_id"), L).select("polygon_id", "tile_id").distinct().count()
+    assert back == n_tiles
+
+
+def test_tile_counts_against_duckdb(spark):
+    import duckdb
+    pages = synthesize_pages(spark, 5000).select("url", "text")
+    pts_df = points_with_cells(mine_coordinates(pages))
+    got = tile_counts(pts_df, 5).toPandas().sort_values("tile_id").reset_index(drop=True)
+    # independent check: group kernel-encoded parents with pandas
+    pdf = pts_df.select("lat", "lng").toPandas()
+    ids = ci.parent_for_level(ci.from_latlng_deg(pdf["lat"].to_numpy(), pdf["lng"].to_numpy()), 5)
+    import pandas as pd
+    expect = (pd.Series(ci.to_signed(ids)).value_counts().rename_axis("tile_id")
+              .reset_index(name="n_pages").sort_values("tile_id").reset_index(drop=True))
+    assert got.equals(expect[["tile_id", "n_pages"]])
+
+
+def test_knn_join_exact(spark):
+    """knn_join results equal brute-force nearest neighbors."""
+    import pandas as pd
+    from s2spark.operators.knn import knn_join
+    rng = np.random.default_rng(11)
+    lats = rng.uniform(-60, 60, 500)
+    lngs = rng.uniform(-170, 170, 500)
+    pdf = pd.DataFrame({"data_id": np.arange(500), "lat": lats, "lng": lngs})
+    df = C.with_cell_id(spark.createDataFrame(pdf), "lat", "lng")
+    queries = (df.where(F.col("data_id") < 5)
+               .select(F.col("data_id").alias("query_id"), "lat", "lng", "cell_id"))
+    got = knn_join(queries, df, k=4, initial_radius_rad=0.02).toPandas()
+    # brute force haversine
+    lat_r = np.radians(lats); lng_r = np.radians(lngs)
+    for qid in range(5):
+        d = 2 * np.arcsin(np.sqrt(
+            np.sin((lat_r - lat_r[qid]) / 2) ** 2
+            + np.cos(lat_r) * np.cos(lat_r[qid]) * np.sin((lng_r - lng_r[qid]) / 2) ** 2))
+        order = np.lexsort((np.arange(500), d))
+        expect = set(order[:4].tolist())
+        got_ids = set(got[got.query_id == qid]["data_id"].tolist())
+        assert got_ids == expect, f"query {qid}"
