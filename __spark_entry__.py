@@ -184,6 +184,20 @@ def _q_point_in_polygon_shuffle(spark, sf_dir):
     return out.select("doc_id", "polygon_id")
 
 
+_QUERY_RECTS = {
+    1: (10.0, 20.0, 25.0, 55.0),
+    2: (-30.0, -170.0, 5.0, -120.0),
+    3: (40.0, 150.0, 70.0, -160.0),   # wraps the antimeridian
+}
+
+
+def _q_rect_query(spark, sf_dir):
+    from s2spark.operators.rect_query import rect_query
+    pts = C.with_cell_id(_docs_geo(spark, sf_dir), "lat", "lng")
+    out = rect_query(spark, pts.select("doc_id", "lat", "lng", "cell_id"), _QUERY_RECTS)
+    return out.select("doc_id", "rect_id")
+
+
 def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_read(spark, sf_dir, "documents"))
 
@@ -294,6 +308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_point_in_polygon": _q_point_in_polygon,
         "s2_point_in_polygon_shuffle": _q_point_in_polygon_shuffle,
         "s2_containment_ranges": _q_containment_ranges,
+        "s2_rect_query": _q_rect_query,
         "s2_knn_join": _q_knn,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_signatures": _q_minhash,
@@ -465,6 +480,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT polygon_id, count(*) AS n_candidates FROM encoded "
             "JOIN (VALUES " + ", ".join(cov_values) + ") AS cov(polygon_id, rmin, rmax) "
             "ON encoded.cell_id BETWEEN cov.rmin AND cov.rmax GROUP BY polygon_id"),
+        "s2_rect_query": (
+            f"WITH src AS ({_DOCS_GEO_SQL}) "
+            + " UNION ALL ".join(
+                f"SELECT doc_id, {rid} AS rect_id FROM src WHERE "
+                f"lat BETWEEN {b[0]} AND {b[2]} AND "
+                + (f"lng BETWEEN {b[1]} AND {b[3]}" if b[1] <= b[3]
+                   else f"(lng >= {b[1]} OR lng <= {b[3]})")
+                for rid, b in _QUERY_RECTS.items())),
         "dedup_exact": (
             f"SELECT md5({_NORM_SQL}) AS digest, min(doc_id) AS keep_id, "
             f"count(*) AS n_copies FROM documents GROUP BY 1"),
