@@ -198,6 +198,58 @@ def _q_rect_query(spark, sf_dir):
     return out.select("doc_id", "rect_id")
 
 
+_QUERY_CAPS = {
+    # cap_id -> (lat_deg, lng_deg, radius_rad)
+    1: (20.0, 30.0, 0.2),
+    2: (-45.0, -120.0, 0.35),
+    3: (80.0, 0.0, 0.15),     # near-polar cap
+}
+
+
+def _q_cap_query(spark, sf_dir):
+    from s2spark.operators.cap_query import cap_query
+    pts = C.with_cell_id(_docs_geo(spark, sf_dir), "lat", "lng")
+    out = cap_query(spark, pts.select("doc_id", "lat", "lng", "cell_id"), _QUERY_CAPS)
+    return out.select("doc_id", "cap_id",
+                      F.round(F.col("distance_rad"), 9).alias("dist_r"))
+
+
+def _q_polyline_length(spark, sf_dir):
+    """Per-doc 3-waypoint track (derived) -> arc length via higher-order
+    Column fold (no UDF)."""
+    from s2spark.operators.polyline_ops import polyline_arc_length, polyline_num_edges
+    g = _docs_geo(spark, sf_dir)
+    # waypoints: (lat,lng), (lat/2, lng/2+10), (-lat/3, lng-20)
+    track = F.array(
+        F.struct(F.col("lat").alias("lat"), F.col("lng").alias("lng")),
+        F.struct((F.col("lat") / 2).alias("lat"), (F.col("lng") / 2 + 10).alias("lng")),
+        F.struct((-F.col("lat") / 3).alias("lat"), (F.col("lng") - 20).alias("lng")))
+    return g.select(
+        "doc_id",
+        F.round(polyline_arc_length(track), 6).alias("arc_length_rad"),
+        polyline_num_edges(track).alias("n_edges"))
+
+
+def _q_event_sessions(spark, sf_dir):
+    """Window-function sessionization: 30-min-gap sessions per user."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    sess = ev.withColumn("prev_ts", prev_ts)
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    new_s = F.when(F.col("prev_ts").isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    sess = sess.withColumn("new_s", new_s)
+    sess = sess.withColumn("session_idx", F.sum("new_s").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "session_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("session_start"))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.max("n_events").alias("max_session_events")))
+
+
 def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_read(spark, sf_dir, "documents"))
 
@@ -309,7 +361,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_point_in_polygon_shuffle": _q_point_in_polygon_shuffle,
         "s2_containment_ranges": _q_containment_ranges,
         "s2_rect_query": _q_rect_query,
+        "s2_cap_query": _q_cap_query,
+        "s2_polyline_length": _q_polyline_length,
         "s2_knn_join": _q_knn,
+        "events_sessionization": _q_event_sessions,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_signatures": _q_minhash,
         "dedup_simhash": _q_simhash,
@@ -488,6 +543,41 @@ def oracle_sql() -> dict[str, str]:
                 + (f"lng BETWEEN {b[1]} AND {b[3]}" if b[1] <= b[3]
                    else f"(lng >= {b[1]} OR lng <= {b[3]})")
                 for rid, b in _QUERY_RECTS.items())),
+        "s2_cap_query": (
+            f"WITH src AS ({_DOCS_GEO_SQL}) "
+            + " UNION ALL ".join(
+                f"SELECT doc_id, {cid} AS cap_id, round(d, 9) AS dist_r FROM ("
+                f"SELECT doc_id, 2*asin(sqrt(least(1.0, "
+                f"sin((radians({b[0]}) - radians(lat))/2) * sin((radians({b[0]}) - radians(lat))/2) + "
+                f"cos(radians(lat))*cos(radians({b[0]}))*"
+                f"(sin((radians({b[1]}) - radians(lng))/2) * sin((radians({b[1]}) - radians(lng))/2))))) AS d FROM src) "
+                f"WHERE d <= {b[2]}"
+                for cid, b in _QUERY_CAPS.items())),
+        "s2_polyline_length": f"""
+WITH src AS ({_DOCS_GEO_SQL}),
+hv AS (SELECT doc_id,
+  2*asin(sqrt(least(1.0, sin((radians(lat/2) - radians(lat))/2) * sin((radians(lat/2) - radians(lat))/2)
+    + cos(radians(lat))*cos(radians(lat/2))*(sin((radians(lng/2+10) - radians(lng))/2) * sin((radians(lng/2+10) - radians(lng))/2))))) AS d1,
+  2*asin(sqrt(least(1.0, sin((radians(-lat/3) - radians(lat/2))/2) * sin((radians(-lat/3) - radians(lat/2))/2)
+    + cos(radians(lat/2))*cos(radians(-lat/3))*(sin((radians(lng-20) - radians(lng/2+10))/2) * sin((radians(lng-20) - radians(lng/2+10))/2))))) AS d2
+  FROM src)
+SELECT doc_id, round(0.0 + d1 + d2, 6) AS arc_length_rad, 2 AS n_edges FROM hv
+""",
+        "events_sessionization": """
+WITH g AS (SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                THEN 1 ELSE 0 END AS new_s
+           FROM events),
+s AS (SELECT user_id, ts, event_id,
+      sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM g),
+per_session AS (SELECT user_id, session_idx, count(*) AS n_events
+                FROM s GROUP BY user_id, session_idx)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+FROM per_session GROUP BY user_id
+""",
         "dedup_exact": (
             f"SELECT md5({_NORM_SQL}) AS digest, min(doc_id) AS keep_id, "
             f"count(*) AS n_copies FROM documents GROUP BY 1"),
