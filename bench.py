@@ -30,11 +30,14 @@ SCALE_CORES = int(os.environ.get("S2SPARK_SCALE_CORES", str(min(16, CPUS))))
 # headline operator queries timed on the shared session
 BENCH_QUERIES = [
     "s2_encode_tokens", "s2_tile_counts", "s2_tile_topk", "s2_cell_topology",
-    "s2_point_in_polygon", "s2_containment_ranges",
+    "s2_point_in_polygon", "s2_point_in_polygon_shuffle",
+    "s2_containment_ranges", "s2_rect_query", "s2_cap_query",
+    "s2_polyline_length",
     "dedup_exact", "dedup_minhash_signatures", "dedup_simhash",
     "text_quality", "text_langid", "text_fingerprint",
     "similarity_bruteforce_topk", "similarity_lsh_topk",
     "relational_revenue_by_nation", "events_daily_agg",
+    "events_sessionization",
 ]
 
 

@@ -1,0 +1,107 @@
+"""Edge-crossing join conformance vs brute force (S2EdgeIndexTest pattern:
+candidate set from the cell join must be a superset of true crossings, and
+the refined output must equal brute-force enumeration;
+S2EdgeIndexTest.cs:140-195)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from s2spark.kernel import cellid as ci
+from s2spark.kernel.loops import robust_crossing_batch
+from tests.conftest import parse_vertices
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from s2spark.plans.session import build_session
+    s = build_session(app_name="s2spark-edge-tests", master="local[4]",
+                      shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def _edges_df(spark, edges: np.ndarray, key: str):
+    pdf = pd.DataFrame({
+        key: np.arange(len(edges)),
+        "ax": edges[:, 0, 0], "ay": edges[:, 0, 1], "az": edges[:, 0, 2],
+        "bx": edges[:, 1, 0], "by": edges[:, 1, 1], "bz": edges[:, 1, 2]})
+    return spark.createDataFrame(pdf)
+
+
+def _brute_crossings(edges_a: np.ndarray, edges_b: np.ndarray) -> set:
+    m, k = len(edges_a), len(edges_b)
+    A0 = np.repeat(edges_a[:, 0], k, axis=0)
+    A1 = np.repeat(edges_a[:, 1], k, axis=0)
+    B0 = np.tile(edges_b[:, 0], (m, 1))
+    B1 = np.tile(edges_b[:, 1], (m, 1))
+    rc = robust_crossing_batch(
+        A0[:, 0], A0[:, 1], A0[:, 2], A1[:, 0], A1[:, 1], A1[:, 2],
+        B0[:, 0], B0[:, 1], B0[:, 2], B1[:, 0], B1[:, 1], B1[:, 2]).reshape(m, k)
+    return {(int(i), int(j)) for i, j in zip(*np.nonzero(rc > 0))}
+
+
+def _random_cap_edges(rng, n, edge_len_rad, cap_span_rad, center=(1.0, 0.0, 0.0)):
+    # random points in a cap + short edges (generateRandomEarthEdges analog)
+    c = np.array(center)
+    out = np.empty((n, 2, 3))
+    for i in range(n):
+        # random start near center
+        d = rng.normal(size=3)
+        d -= d @ c * c
+        d /= np.linalg.norm(d)
+        t = rng.uniform(0, cap_span_rad / 2)
+        p = math.cos(t) * c + math.sin(t) * d
+        # random second endpoint at distance <= edge_len
+        e = rng.normal(size=3)
+        e -= e @ p * p
+        e /= np.linalg.norm(e)
+        u = rng.uniform(0, edge_len_rad)
+        q = math.cos(u) * p + math.sin(u) * e
+        out[i, 0] = p
+        out[i, 1] = q
+    return out
+
+
+def test_diamond_loop_zero_crossings(spark):
+    # S2EdgeIndexTest.cs:149-162 — adjacent loop edges never properly cross
+    v = parse_vertices("0:178, -1:180, 0:-179, 1:-180")
+    edges = np.stack([np.stack([v[i], v[(i + 1) % 4]]) for i in range(4)])
+    from s2spark.operators.edge_join import edge_crossing_join
+    df = _edges_df(spark, edges, "edge_a")
+    out = edge_crossing_join(df, _edges_df(spark, edges, "edge_b"))
+    assert out.count() == 0
+
+
+def test_specific_nearly_parallel_edges(spark):
+    # S2EdgeIndexTest.cs:184-195 — exact-xyz nearly parallel edges; the
+    # reference's checkAllCrossings oracle is "index results == brute force"
+    # (minCrossings is only a floor), so conformance = match brute force
+    ps = np.array([
+        [0.8088625416501157, -0.40633615485481134, 0.4250086092929434],
+        [0.8088939911085784, -0.40631384442755236, 0.4249700824469155],
+        [0.8088088971141814, -0.40642839367135375, 0.425022503835579],
+        [0.8088643962606756, -0.406333410696549, 0.4250077032402616]])
+    edges = np.stack([np.stack([ps[0], ps[1]]), np.stack([ps[2], ps[3]])])
+    from s2spark.operators.edge_join import edge_crossing_join
+    got = {(int(r["edge_a"]), int(r["edge_b"]))
+           for r in edge_crossing_join(_edges_df(spark, edges, "edge_a"),
+                                       _edges_df(spark, edges, "edge_b")).collect()}
+    assert got == _brute_crossings(edges, edges)
+
+
+def test_random_crossings_match_brute_force(spark):
+    from s2spark.operators.edge_join import edge_crossing_join
+    rng = np.random.default_rng(123456)
+    # dense cap -> guaranteed crossings (tryCrossingsRandomInCap analog)
+    edges = _random_cap_edges(rng, 150, edge_len_rad=0.02, cap_span_rad=0.02)
+    expect = _brute_crossings(edges, edges)
+    assert len(expect) > 10  # the fixture must actually exercise crossings
+    df_a = _edges_df(spark, edges, "edge_a")
+    df_b = _edges_df(spark, edges, "edge_b")
+    got = {(int(r["edge_a"]), int(r["edge_b"]))
+           for r in edge_crossing_join(df_a, df_b).collect()}
+    assert got == expect
