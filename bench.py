@@ -70,6 +70,7 @@ def _run_pipeline(spark, n_pages: int) -> int:
 _CHILD_SCRIPT = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
 from s2spark.plans.session import build_session
 import bench
 cores = int(sys.argv[1]); n_pages = int(sys.argv[2])
@@ -77,9 +78,19 @@ spark = build_session(app_name=f"bench-{{cores}}", master=f"local[{{cores}}]",
                       shuffle_partitions=2 * cores)
 spark.sparkContext.setLogLevel("ERROR")
 bench._run_pipeline(spark, 50_000)   # warm-up: JIT + Arrow + broadcasts
+best = None; matched = 0
+for _ in range(2):                   # best-of-2: hypervisor steal varies
+    t0 = time.time()
+    matched = bench._run_pipeline(spark, n_pages)
+    dt = time.time() - t0
+    best = dt if best is None or dt < best else best
+# pure-compute control: measures what the host can actually scale
+ctl = spark.range(0, 500_000_000, 1, 4 * cores)
+ctl.limit(10).select(F.sum(F.sin(F.col("id").cast("double")))).collect()
 t0 = time.time()
-matched = bench._run_pipeline(spark, n_pages)
-print(json.dumps({{"sec": time.time() - t0, "matched": int(matched)}}))
+ctl.select(F.sum(F.sin(F.col("id").cast("double")))).collect()
+ctl_sec = time.time() - t0
+print(json.dumps({{"sec": best, "matched": int(matched), "control_sec": ctl_sec}}))
 spark.stop()
 """
 
@@ -105,11 +116,19 @@ def _scaling_run(n_pages: int) -> dict:
         r = json.loads(line)
         out[label] = {"cores": cores, "sec": round(r["sec"], 3),
                       "pages_per_sec": round(n_pages / r["sec"], 1),
-                      "matched_rows": r["matched"]}
+                      "matched_rows": r["matched"],
+                      "control_sec": round(r["control_sec"], 3)}
     tp_small = out["n_cores"]["pages_per_sec"]
     tp_big = out["n4_cores"]["pages_per_sec"]
     ratio = big / small
     out["scaling_efficiency"] = round(tp_big / (tp_small * ratio), 3)
+    # normalize by what a zero-shuffle embarrassingly-parallel job achieves
+    # on this host at the same two sizes (hypervisor steal ceiling)
+    ctl_speedup = out["n_cores"]["control_sec"] / out["n4_cores"]["control_sec"]
+    out["control_efficiency"] = round(ctl_speedup / ratio, 3)
+    out["efficiency_vs_control"] = round(
+        out["scaling_efficiency"] / out["control_efficiency"], 3) \
+        if out["control_efficiency"] > 0 else None
     out["pages"] = n_pages
     return out
 
