@@ -526,6 +526,61 @@ class Polygon:
     def may_intersect_cell(self, cell: Cell) -> bool:
         return bool(self.relate_cells(np.array([cell.id], dtype=np.uint64))[0][0])
 
+    # -- polygon-polygon relations (S2Polygon.cs:511-601, 1044-1134) ------------
+
+    @property
+    def has_holes(self) -> bool:
+        return any(lp.depth & 1 for lp in self.loops)
+
+    def _any_loop_contains(self, b: Loop) -> bool:
+        return any(lp.contains_loop(b) for lp in self.loops)
+
+    def contains_or_crosses_loop(self, b: Loop) -> int:
+        """+1 polygon contains loop b, -1 boundaries cross, 0 otherwise
+        (XOR of per-loop results, S2Polygon.cs:1044-1062)."""
+        inside = False
+        for lp in self.loops:
+            result = lp.contains_or_crosses(b)
+            if result < 0:
+                return -1
+            if result > 0:
+                inside = not inside
+        return 1 if inside else 0
+
+    def _contains_all_shells(self, b: "Polygon") -> bool:
+        return all(self.contains_or_crosses_loop(lp) > 0
+                   for lp in b.loops if not (lp.depth & 1))
+
+    def _excludes_all_holes(self, b: "Polygon") -> bool:
+        return all(self.contains_or_crosses_loop(lp) == 0
+                   for lp in b.loops if lp.depth & 1)
+
+    def _intersects_any_shell(self, b: "Polygon") -> bool:
+        return any(self.contains_or_crosses_loop(lp) != 0
+                   for lp in b.loops if not (lp.depth & 1))
+
+    def contains_polygon(self, b: "Polygon") -> bool:
+        """S2Polygon.Contains (S2Polygon.cs:511-554)."""
+        if len(self.loops) == 1 and len(b.loops) == 1:
+            return self.loops[0].contains_loop(b.loops[0])
+        if not self.bound.contains_rect(b.bound):
+            if not self.bound.lng.union(b.bound.lng).is_full:
+                return False
+        if not self.has_holes and not b.has_holes:
+            return all(self._any_loop_contains(lp) for lp in b.loops)
+        return self._contains_all_shells(b) and b._excludes_all_holes(self)
+
+    def intersects_polygon(self, b: "Polygon") -> bool:
+        """S2Polygon.Intersects (S2Polygon.cs:560-601)."""
+        if len(self.loops) == 1 and len(b.loops) == 1:
+            return self.loops[0].intersects_loop(b.loops[0])
+        if not self.bound.intersects_rect(b.bound):
+            return False
+        if not self.has_holes and not b.has_holes:
+            return any(la.intersects_loop(lb)
+                       for la in self.loops for lb in b.loops)
+        return self._intersects_any_shell(b) or b._intersects_any_shell(self)
+
     def relate_cells(self, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Batched (may_intersect, contains) across all loops."""
         from .cell import cells_contain_point, cells_vertices

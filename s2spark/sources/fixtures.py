@@ -67,17 +67,15 @@ def make_polygon(s: str) -> Polygon:
     mutual containment counting (valid for non-crossing fixture loops,
     mirroring the effect of S2Polygon.InsertLoop nesting,
     S2Polygon.cs:974-1023)."""
-    import numpy as np
     raw = [Loop(parse_vertices(p)).normalized()
            for p in s.split(";") if p.strip()]
     loops = []
     for i, lp in enumerate(raw):
-        v0 = lp.vertices[0]
-        depth = 0
-        for j, other in enumerate(raw):
-            if i != j and bool(other.contains_points(
-                    np.array([v0[0]]), np.array([v0[1]]), np.array([v0[2]]))[0]):
-                depth += 1
+        # depth = number of other loops strictly containing this one;
+        # contains_loop handles shared vertices via wedge relations (the
+        # fixture families share vertices between nested loops)
+        depth = sum(1 for j, other in enumerate(raw)
+                    if i != j and other.contains_loop(lp))
         loops.append(Loop(lp.vertices, depth=depth))
     return Polygon(loops)
 
