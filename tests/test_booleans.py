@@ -1,0 +1,91 @@
+"""Polygon boolean-op conformance: S2PolygonTest union goldens + point-set
+algebra laws on random samples."""
+
+import math
+
+import numpy as np
+import pytest
+
+from s2spark.kernel import booleans, cellid as ci
+from s2spark.sources.fixtures import make_polygon
+
+ADJACENT0 = "0:1, 1:1, 2:1, 2:0, 1:0, 0:0;"
+ADJACENT1 = "0:2, 1:2, 2:2, 2:1.01, 1:0.99, 0:1.01;"
+UN_ADJACENT = "10:10, 11:10, 12:10, 12:9, 11:9, 10:9;"
+
+
+def _latlng_deg(p):
+    lat = math.degrees(math.atan2(p[2], math.hypot(p[0], p[1])))
+    lng = math.degrees(math.atan2(p[1], p[0]))
+    return lat, lng
+
+
+def test_union_sloppy_success():
+    # S2PolygonTest.cs:323-349 — sloppy union with 0.1 deg merge closes the
+    # slightly-off shared edge into one 8-vertex loop
+    u = booleans.destructive_union(
+        [make_polygon(ADJACENT0), make_polygon(ADJACENT1)],
+        merge_radius=math.radians(0.1))
+    assert len(u.loops) == 1
+    loop = u.loops[0]
+    assert loop.num_vertices == 8
+    expected = [(2, 0), (1, 0), (0, 0), (0, 1), (0, 2), (1, 2), (2, 2), (2, 1)]
+    got = [_latlng_deg(loop.vertex(k)) for k in range(8)]
+    # same cyclic sequence within the reference's 0.01-degree tolerance
+    # (assertPointApproximatelyEquals, S2PolygonTest.cs:341-348)
+    def matches_with_rotation(seq):
+        for rev in (seq, seq[::-1]):
+            for s in range(len(rev)):
+                rot = rev[s:] + rev[:s]
+                if all(abs(g[0] - e[0]) <= 0.0101 and abs(g[1] - e[1]) <= 0.0101
+                       for g, e in zip(rot, expected)):
+                    return True
+        return False
+    assert matches_with_rotation(got)
+
+
+def test_union_sloppy_failure():
+    # S2PolygonTest.cs:310-320 — far-apart polygons stay 2 loops
+    u = booleans.destructive_union(
+        [make_polygon(ADJACENT0), make_polygon(UN_ADJACENT)],
+        merge_radius=math.radians(0.1))
+    assert len(u.loops) == 2
+
+
+@pytest.fixture(scope="module")
+def sample_points():
+    rng = np.random.default_rng(17)
+    lats = rng.uniform(-2, 9, 40000)
+    lngs = rng.uniform(-2, 9, 40000)
+    return ci.xyz_from_latlng_deg(lats, lngs)
+
+
+@pytest.mark.parametrize("a_str,b_str", [
+    ("0:0, 0:4, 4:4, 4:0;", "2:2, 2:6, 6:6, 6:2;"),          # overlapping quads
+    ("0:0, 0:4, 4:4, 4:0;", "1:1, 1:2, 2:2, 2:1;"),          # B inside A
+    ("0:0, 0:4, 4:4, 4:0;", "5:5, 5:8, 8:8, 8:5;"),          # disjoint
+    ("6:-3, -3:6, -2:-2;-1:0, 0:1, 1:0, 0:-1;",               # A has a hole
+     "0:0, 0:4, 4:4, 4:0;"),
+])
+def test_boolean_point_set_laws(a_str, b_str, sample_points):
+    x, y, z = sample_points
+    A = make_polygon(a_str)
+    B = make_polygon(b_str)
+    in_a = A.contains_points(x, y, z)
+    in_b = B.contains_points(x, y, z)
+    I = booleans.intersection(A, B)
+    U = booleans.union(A, B)
+    D = booleans.difference(A, B)
+    assert np.array_equal(I.contains_points(x, y, z), in_a & in_b)
+    assert np.array_equal(U.contains_points(x, y, z), in_a | in_b)
+    assert np.array_equal(D.contains_points(x, y, z), in_a & ~in_b)
+
+
+def test_inclusion_exclusion_area():
+    A = make_polygon("0:0, 0:4, 4:4, 4:0;")
+    B = make_polygon("2:2, 2:6, 6:6, 6:2;")
+    I = booleans.intersection(A, B)
+    U = booleans.union(A, B)
+    lhs = U.get_area_centroid()[0] + I.get_area_centroid()[0]
+    rhs = A.get_area_centroid()[0] + B.get_area_centroid()[0]
+    assert lhs == pytest.approx(rhs, rel=1e-10)
