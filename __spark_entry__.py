@@ -59,14 +59,9 @@ _JOIN_POLYGONS = {
 }
 
 
-def _polygon_vertices_sql(pid: int) -> list[tuple[float, float, float]]:
-    poly = _JOIN_POLYGONS[pid]
-    return [tuple(map(float, v)) for v in poly.loops[0].vertices]
-
-
-def _convex_contains_sql(pid: int) -> str:
+def _convex_loop_sql(poly) -> str:
     """AND over edges of (v_i x v_{i+1}) . p > 0 (CCW convex loop)."""
-    verts = _polygon_vertices_sql(pid)
+    verts = [tuple(map(float, v)) for v in poly.loops[0].vertices]
     n = len(verts)
     terms = []
     for i in range(n):
@@ -75,6 +70,17 @@ def _convex_contains_sql(pid: int) -> str:
         cx, cy, cz = (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
         terms.append(f"(({cx!r}) * px + ({cy!r}) * py + ({cz!r}) * pz > 0)")
     return "(" + " AND ".join(terms) + ")"
+
+
+def _convex_contains_sql(pid: int) -> str:
+    return _convex_loop_sql(_JOIN_POLYGONS[pid])
+
+
+# boolean-op demo polygons: overlapping convex quads; the engine joins
+# against intersection/difference RESULTS, the oracle uses the logical
+# combination of the convex input tests
+_BOOL_A = make_polygon("-40:-40, -40:40, 40:40, 40:-40;")
+_BOOL_B = make_polygon("-10:20, -10:60, 20:60, 20:20;")
 
 
 # ---------------------------------------------------------------------------
@@ -250,6 +256,19 @@ def _q_event_sessions(spark, sf_dir):
                  F.max("n_events").alias("max_session_events")))
 
 
+def _q_boolean_pip(spark, sf_dir):
+    """Polygon boolean ops feeding the spatial join: points in A∩B (id 11)
+    and A\\B (id 12), where the joined polygons are COMPUTED by the
+    boundary-clipping boolean kernel."""
+    from s2spark.kernel import booleans
+    polys = {11: booleans.intersection(_BOOL_A, _BOOL_B),
+             12: booleans.difference(_BOOL_A, _BOOL_B)}
+    pts = points_with_cells(_docs_geo(spark, sf_dir))
+    joined = spatial_join(
+        spark, pts.select("doc_id", "cell_id", "x", "y", "z"), polys)
+    return joined.select("doc_id", "polygon_id")
+
+
 def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_read(spark, sf_dir, "documents"))
 
@@ -362,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_containment_ranges": _q_containment_ranges,
         "s2_rect_query": _q_rect_query,
         "s2_cap_query": _q_cap_query,
+        "s2_boolean_pip": _q_boolean_pip,
         "s2_polyline_length": _q_polyline_length,
         "s2_knn_join": _q_knn,
         "events_sessionization": _q_event_sessions,
@@ -530,6 +550,13 @@ def oracle_sql() -> dict[str, str]:
         "s2_point_in_polygon_shuffle": (
             f"WITH src AS ({_DOCS_GEO_SQL}), {CELL_ID_FROM_LATLNG_CTES}, "
             f"pts AS (SELECT doc_id, px, py, pz FROM encoded) {pip_union}"),
+        "s2_boolean_pip": (
+            f"WITH src AS ({_DOCS_GEO_SQL}), {CELL_ID_FROM_LATLNG_CTES}, "
+            f"pts AS (SELECT doc_id, px, py, pz FROM encoded) "
+            f"SELECT doc_id, 11 AS polygon_id FROM pts "
+            f"WHERE {_convex_loop_sql(_BOOL_A)} AND {_convex_loop_sql(_BOOL_B)} "
+            f"UNION ALL SELECT doc_id, 12 AS polygon_id FROM pts "
+            f"WHERE {_convex_loop_sql(_BOOL_A)} AND NOT {_convex_loop_sql(_BOOL_B)}"),
         "s2_containment_ranges": encode_query(
             _DOCS_GEO_SQL,
             "SELECT polygon_id, count(*) AS n_candidates FROM encoded "
