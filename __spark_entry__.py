@@ -361,7 +361,8 @@ def _q_knn(spark, sf_dir):
     from s2spark.operators.knn import knn_join
     # cache: the ring-widening loop re-reads both sides once per round
     pts = C.with_cell_id(_docs_geo(spark, sf_dir), "lat", "lng").cache()
-    queries_df = (pts.where(F.col("doc_id") % 37 == 0).limit(16)
+    # deterministic query subset (a LIMIT would pick arbitrary rows)
+    queries_df = (pts.where((F.col("doc_id") % 37 == 0) & (F.col("doc_id") < 500))
                   .select(F.col("doc_id").alias("query_id"), "lat", "lng", "cell_id"))
     data = pts.select(F.col("doc_id").alias("data_id"), "lat", "lng", "cell_id")
     out = knn_join(queries_df, data, k=3, initial_radius_rad=0.05)
@@ -656,7 +657,21 @@ SELECT CAST(ts AS DATE) AS day, event_type,
        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """,
-        # s2_knn_join and similarity_lsh_topk are intentionally omitted:
-        # ring expansion needs the cross-face neighbor kernel and SRP sign
-        # buckets are FP-sum-order sensitive -> rows-only driver check.
+        "s2_knn_join": f"""
+WITH src AS ({_DOCS_GEO_SQL}),
+q AS (SELECT doc_id AS query_id, lat AS qlat, lng AS qlng FROM src
+      WHERE doc_id % 37 = 0 AND doc_id < 500),
+pairs AS (SELECT q.query_id, s.doc_id AS data_id,
+  2*asin(sqrt(least(1.0,
+    sin((radians(s.lat) - radians(q.qlat))/2) * sin((radians(s.lat) - radians(q.qlat))/2)
+    + cos(radians(q.qlat)) * cos(radians(s.lat)) *
+      (sin((radians(s.lng) - radians(q.qlng))/2) * sin((radians(s.lng) - radians(q.qlng))/2))))) AS d
+  FROM src s CROSS JOIN q),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d ASC, data_id ASC) AS rn
+           FROM pairs)
+SELECT query_id, data_id, round(d, 6) AS dist_r FROM ranked
+WHERE rn <= 3 AND data_id != query_id
+""",
+        # similarity_lsh_topk is intentionally omitted: SRP sign buckets are
+        # FP-sum-order sensitive across engines -> rows-only driver check.
     }

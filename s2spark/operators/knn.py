@@ -29,9 +29,10 @@ from ..kernel import metrics
 
 
 def _haversine_rad(lat1, lng1, lat2, lng2):
+    # explicit products (not pow) so SQL oracles can match bit-for-bit
     dlat = F.sin((lat2 - lat1) / 2)
     dlng = F.sin((lng2 - lng1) / 2)
-    h = dlat * dlat + F.cos(lat1) * F.cos(lat2) * dlng * dlng
+    h = dlat * dlat + F.cos(lat1) * F.cos(lat2) * (dlng * dlng)
     return 2 * F.asin(F.sqrt(F.least(F.lit(1.0), h)))
 
 
