@@ -266,10 +266,12 @@ def union(a: Polygon, b: Polygon,
 
 def difference(a: Polygon, b: Polygon,
                merge_radius: float = DEFAULT_INTERSECTION_TOLERANCE) -> Polygon:
-    """A \\ B: boundary of A clipped to B's exterior + reversed boundary of
-    B clipped to A's interior (standard S2 InitToDifference shape)."""
+    """A \\ B: boundary of A clipped to the exterior of REVERSED B + reversed
+    boundary of B clipped to A's interior (S2Polygon InitToDifferenceSloppy:
+    ClipBoundary(a, false, b, true, true, true) — reverse_b=True matters for
+    vertex-crossing / shared-edge handling when B abuts A along an edge)."""
     builder = PolygonBuilder(merge_distance=merge_radius)
-    _clip_boundary(a, False, b, False, True, True, builder)
+    _clip_boundary(a, False, b, True, True, True, builder)
     _clip_boundary(b, True, a, False, False, False, builder)
     return builder.assemble_polygon()
 

@@ -44,7 +44,11 @@ def radius_join(queries: DataFrame, data: DataFrame, radius_rad: float,
     computed as a JVM haversine expression; the join is an equi-join on
     bucket cells, broadcastable when queries are small.
     """
-    level = min(metrics.MIN_WIDTH.get_max_level(2 * radius_rad), 30)
+    # Clamp to MaxLevel-1 = 29 (not 30): the vertex-neighbor guarantee needs
+    # a level coarser than the leaf, and get_vertex_neighbors at level 30
+    # would compute a negative shift (S2PolygonBuilder PointIndex mirrors
+    # this with Math.Min(..., S2CellId.MaxLevel - 1)).
+    level = min(metrics.MIN_WIDTH.get_max_level(2 * radius_rad), 29)
     # data side: one bucket per row (its ancestor at `level`)
     d = data.select(
         F.col(data_key), F.col("lat").alias("d_lat"), F.col("lng").alias("d_lng"),
@@ -72,15 +76,15 @@ def knn_join(queries: DataFrame, data: DataFrame, k: int,
     is one bucket join; rows found in earlier rounds are final (a correct
     k-NN at radius r stays correct at 2r).
     """
-    # The query side is small by contract (it is broadcast in radius_join);
-    # manage its round-to-round state on the driver so each round's plan is
-    # flat (chaining anti-joins across rounds compounds lineage and forces
-    # full recomputation per round).  The DATA side — the 100 TB side —
-    # stays fully distributed; each round is one bucket join over it.
-    spark = queries.sparkSession
-    remaining = queries.persist()
-    remaining.count()
+    # Round-to-round state stays DISTRIBUTED: the "done" set is a DataFrame
+    # (queries whose max rank reached k), removed from `remaining` by a
+    # broadcast anti-join — no collect() of per-query state on the driver,
+    # so 10^6 query points don't bottleneck there.  Each round's `ranked` is
+    # localCheckpoint'ed so the per-round anti-join lineage stays flat.  The
+    # DATA side — the 100 TB side — stays fully distributed throughout.
+    remaining = queries.localCheckpoint()
     results = None
+    last_partial = None
     radius = initial_radius_rad
     for _ in range(max_rounds):
         matched = radius_join(remaining, data, radius, query_key, data_key)
@@ -90,19 +94,28 @@ def knn_join(queries: DataFrame, data: DataFrame, k: int,
                   .where(F.col("rank") <= k)
                   .select(query_key, data_key, "distance_rad", "rank")
                   .localCheckpoint())
-        counts = {r[0]: r[1] for r in
-                  ranked.groupBy(query_key).agg(F.max("rank")).collect()}
-        done_ids = [qid for qid, n in counts.items() if n >= k]
-        if done_ids:
-            done = ranked.where(F.col(query_key).isin(done_ids))
-            results = done if results is None else results.unionByName(done)
-            remaining = remaining.where(~F.col(query_key).isin(done_ids)).persist()
+        done_q = (ranked.groupBy(query_key).agg(F.max("rank").alias("n_found"))
+                  .where(F.col("n_found") >= k).select(query_key))
+        done = ranked.join(F.broadcast(done_q), query_key, "semi")
+        results = done if results is None else results.unionByName(done)
+        # partial top-k for queries not yet done (kept in case rounds run out)
+        last_partial = ranked.join(F.broadcast(done_q), query_key, "left_anti")
+        remaining = (remaining.join(F.broadcast(done_q), query_key, "left_anti")
+                     .localCheckpoint())
         if remaining.limit(1).isEmpty():
+            last_partial = None
             break
         radius *= 2
     if results is None:
-        return queries.limit(0).select(F.col(query_key)).withColumns(
+        results = queries.limit(0).select(F.col(query_key)).withColumns(
             {data_key: F.lit(None).cast("long"),
              "distance_rad": F.lit(None).cast("double"),
              "rank": F.lit(None).cast("int")})
+    if last_partial is not None:
+        # Queries still short of k after max_rounds: return their partial
+        # neighbor lists (matching exact kNN, which returns partial top-k
+        # rows when fewer than k points exist in range) instead of silently
+        # dropping them.
+        results = results.unionByName(
+            last_partial.select(query_key, data_key, "distance_rad", "rank"))
     return results.select(query_key, data_key, "distance_rad", "rank")

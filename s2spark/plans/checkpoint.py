@@ -29,12 +29,28 @@ class SnapshotStore:
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as f:
                 for line in f:
-                    row = json.loads(line)
+                    # A crash mid-append leaves a torn trailing line; treat it
+                    # as uncommitted (recompute that stage) instead of wedging
+                    # every future resume with a JSONDecodeError.
+                    try:
+                        row = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
                     done[row["stage"]] = row["path"]
         return done
 
     def commit(self, stage: str, path: str, n_rows: int) -> None:
+        # If a prior append was torn mid-line (crash), start on a fresh line
+        # so the new record isn't glued onto the torn fragment and lost.
+        needs_nl = (os.path.exists(self.manifest_path)
+                    and os.path.getsize(self.manifest_path) > 0)
+        if needs_nl:
+            with open(self.manifest_path, "rb") as f:
+                f.seek(-1, os.SEEK_END)
+                needs_nl = f.read(1) != b"\n"
         with open(self.manifest_path, "a") as f:
+            if needs_nl:
+                f.write("\n")
             f.write(json.dumps({"stage": stage, "path": path, "n_rows": n_rows,
                                 "ts": time.time()}) + "\n")
 

@@ -81,6 +81,24 @@ def test_boolean_point_set_laws(a_str, b_str, sample_points):
     assert np.array_equal(D.contains_points(x, y, z), in_a & ~in_b)
 
 
+@pytest.mark.parametrize("b_str", [
+    "0:4, 0:8, 4:8, 4:4;",   # B abuts A along A's full lng=4 edge (outside A)
+    "0:2, 0:4, 4:4, 4:2;",   # B is the right half of A (3 shared chains)
+    "1:4, 1:6, 3:6, 3:4;",   # B abuts part of A's lng=4 edge
+])
+def test_difference_shared_edge(b_str, sample_points):
+    """A minus B where B shares boundary edges with A — exercises the
+    direction-sensitive vertex-crossing path (reverse_b=True in the first
+    clip of InitToDifference)."""
+    x, y, z = sample_points
+    A = make_polygon("0:0, 0:4, 4:4, 4:0;")
+    B = make_polygon(b_str)
+    D = booleans.difference(A, B)
+    in_a = A.contains_points(x, y, z)
+    in_b = B.contains_points(x, y, z)
+    assert np.array_equal(D.contains_points(x, y, z), in_a & ~in_b)
+
+
 def test_inclusion_exclusion_area():
     A = make_polygon("0:0, 0:4, 4:4, 4:0;")
     B = make_polygon("2:2, 2:6, 6:6, 6:2;")

@@ -55,6 +55,29 @@ def test_pipeline_partial_resume(spark, tmp_path):
     assert stages == ["mine", "encode", "join", "tiles"]
 
 
+def test_torn_manifest_line_resumes(spark, tmp_path):
+    """A crash mid-append leaves a torn trailing manifest line; resume must
+    treat it as uncommitted (recompute that stage) instead of raising."""
+    from jobs.spatial_pipeline import run
+    work = str(tmp_path / "run3")
+    run(spark, 3000, work)
+    manifest = os.path.join(work, "snapshots", "MANIFEST.jsonl")
+    lines = open(manifest).readlines()
+    with open(manifest, "w") as f:
+        f.writelines(lines[:3])
+        f.write(lines[3][: len(lines[3]) // 2])  # torn final line
+    stats = run(spark, 3000, work)
+    assert stats["tiles"] > 0
+    stages = []
+    for l in open(manifest):
+        try:
+            stages.append(json.loads(l)["stage"])
+        except json.JSONDecodeError:
+            stages.append(None)  # the torn line stays torn; resume skips it
+    assert stages[:3] == ["mine", "encode", "join"]
+    assert stages[-1] == "tiles"
+
+
 def test_streaming_tile_counts(spark, tmp_path):
     """Drive the streaming tile aggregation on a bounded micro-batch and
     check it matches the batch tile counts for the same rows."""

@@ -130,3 +130,21 @@ def test_knn_join_exact(spark):
         expect = set(order[:4].tolist())
         got_ids = set(got[got.query_id == qid]["data_id"].tolist())
         assert got_ids == expect, f"query {qid}"
+
+
+def test_knn_join_partial_results(spark):
+    """Queries that cannot reach k matches within max_rounds still return
+    their partial neighbor lists (matching exact kNN on a small dataset)."""
+    import pandas as pd
+    from s2spark.operators.knn import knn_join
+    # only 3 data points but k=5: partial top-3 must come back per query
+    pdf = pd.DataFrame({"data_id": [0, 1, 2],
+                        "lat": [10.0, 10.1, 10.2],
+                        "lng": [20.0, 20.1, 20.2]})
+    df = C.with_cell_id(spark.createDataFrame(pdf), "lat", "lng")
+    queries = (df.where(F.col("data_id") == 0)
+               .select(F.col("data_id").alias("query_id"), "lat", "lng", "cell_id"))
+    got = knn_join(queries, df, k=5, initial_radius_rad=0.01,
+                   max_rounds=3).toPandas()
+    assert set(got["data_id"].tolist()) == {0, 1, 2}
+    assert sorted(got["rank"].tolist()) == [1, 2, 3]
