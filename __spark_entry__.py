@@ -220,6 +220,32 @@ def _q_cap_query(spark, sf_dir):
                       F.round(F.col("distance_rad"), 9).alias("dist_r"))
 
 
+def _q_rect_distance(spark, sf_dir):
+    """Point-to-rect distance (S2LatLngRect.GetDistance) for every doc
+    against the 3 query rects — pure codegen arithmetic, no shuffle."""
+    from s2spark.operators.distance_ops import rect_distance
+    g = _docs_geo(spark, sf_dir)
+    out = rect_distance(g.select("doc_id", "lat", "lng"), _QUERY_RECTS)
+    return out.select("doc_id", "rect_id",
+                      F.round("distance_rad", 9).alias("dist_r"))
+
+
+# map-matching track for the polyline projection query (Paris-ish)
+_PROJECT_TRACK = [(48.0, 2.0), (48.5, 2.5), (49.0, 2.0), (50.0, 4.0)]
+
+
+def _q_polyline_project(spark, sf_dir):
+    """Snap every doc point to the nearest edge of a fixed polyline
+    (S2Polyline.GetNearestEdgeIndex + ProjectToEdge)."""
+    from s2spark.operators.distance_ops import polyline_project
+    g = _docs_geo(spark, sf_dir)
+    out = polyline_project(g.select("doc_id", "lat", "lng"), _PROJECT_TRACK)
+    return out.select("doc_id", "edge_idx",
+                      F.round("distance_rad", 9).alias("dist_r"),
+                      F.round("proj_lat", 6).alias("proj_lat"),
+                      F.round("proj_lng", 6).alias("proj_lng"))
+
+
 def _q_polyline_length(spark, sf_dir):
     """Per-doc 3-waypoint track (derived) -> arc length via higher-order
     Column fold (no UDF)."""
@@ -383,6 +409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_rect_query": _q_rect_query,
         "s2_cap_query": _q_cap_query,
         "s2_boolean_pip": _q_boolean_pip,
+        "s2_rect_distance": _q_rect_distance,
+        "s2_polyline_project": _q_polyline_project,
         "s2_polyline_length": _q_polyline_length,
         "s2_knn_join": _q_knn,
         "events_sessionization": _q_event_sessions,
@@ -501,6 +529,22 @@ FROM feat
 """
 
 
+def _rect_distance_oracle_sql() -> str:
+    from s2spark.operators.distance_ops import XYZ_COLS_SQL, rect_distance_sql
+    xyz = ", ".join(f"{v} AS {k}" for k, v in XYZ_COLS_SQL.items())
+    per_rect = " UNION ALL ".join(
+        f"SELECT doc_id, {rid} AS rect_id, "
+        f"round({rect_distance_sql(rect)}, 9) AS dist_r FROM p"
+        for rid, rect in _QUERY_RECTS.items())
+    return (f"WITH src AS ({_DOCS_GEO_SQL}), "
+            f"p AS (SELECT doc_id, lat, lng, {xyz} FROM src) {per_rect}")
+
+
+def _polyline_project_oracle() -> str:
+    from s2spark.operators.distance_ops import polyline_project_oracle_sql
+    return polyline_project_oracle_sql(_DOCS_GEO_SQL, _PROJECT_TRACK)
+
+
 def _sim_bruteforce_oracle_sql() -> str:
     return """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
@@ -581,6 +625,8 @@ def oracle_sql() -> dict[str, str]:
                 f"(sin((radians({b[1]}) - radians(lng))/2) * sin((radians({b[1]}) - radians(lng))/2))))) AS d FROM src) "
                 f"WHERE d <= {b[2]}"
                 for cid, b in _QUERY_CAPS.items())),
+        "s2_rect_distance": _rect_distance_oracle_sql(),
+        "s2_polyline_project": _polyline_project_oracle(),
         "s2_polyline_length": f"""
 WITH src AS ({_DOCS_GEO_SQL}),
 hv AS (SELECT doc_id,

@@ -225,6 +225,14 @@ class S1Interval:
             return y.lo < self.hi or y.hi > self.lo
         return (y.lo < self.hi and y.hi > self.lo) or self.is_full
 
+    @property
+    def complement(self) -> "S1Interval":
+        """Complement of the interior (S1Interval.cs Complement): a singleton
+        complements to full; otherwise swap endpoints."""
+        if self.lo == self.hi:
+            return S1Interval.full()
+        return S1Interval(self.hi, self.lo, True)
+
     def add_point(self, p: float) -> "S1Interval":
         if p == -PI:
             p = PI
@@ -359,6 +367,72 @@ class LatLngRect:
             return LatLngRect.empty()
         return LatLngRect(lat.intersection(R1Interval(-PI / 2, PI / 2)), lng)
 
+    def get_distance_latlng(self, lat: float, lng: float) -> float:
+        """Min distance (radians, along the sphere) from a (lat, lng) radians
+        point to the rect — boundary and interior (S2LatLngRect.cs:381-409)."""
+        a = self
+        if a.is_empty:
+            raise ValueError("distance from empty rect")
+        if a.lng.contains(lng):
+            return max(0.0, max(lat - a.lat.hi, a.lat.lo - lat))
+        # nearest meridian edge: lng.hi if p is in [lng.hi, complement center],
+        # else lng.lo (S2LatLngRect.cs:391-398)
+        interval = S1Interval.from_point_pair(a.lng.hi, a.lng.complement.center)
+        a_lng = a.lng.hi if interval.contains(lng) else a.lng.lo
+        from . import sphere
+        lo = _latlng_to_xyz(a.lat.lo, a_lng)
+        hi = _latlng_to_xyz(a.lat.hi, a_lng)
+        n = _latlng_to_xyz(0.0, a_lng - PI / 2)  # loCrossHi
+        p = _latlng_to_xyz(lat, lng)
+        return float(sphere.point_edge_distance_with_normal(
+            np.float64(p[0]), np.float64(p[1]), np.float64(p[2]),
+            np.float64(lo[0]), np.float64(lo[1]), np.float64(lo[2]),
+            np.float64(hi[0]), np.float64(hi[1]), np.float64(hi[2]),
+            np.float64(n[0]), np.float64(n[1]), np.float64(n[2])))
+
+    def get_distance_rect(self, b: "LatLngRect") -> float:
+        """Min distance (radians) to another non-empty rect
+        (S2LatLngRect.cs:415-484)."""
+        a = self
+        if a.is_empty or b.is_empty:
+            raise ValueError("distance with empty rect")
+        if a.lng.intersects(b.lng):
+            if a.lat.intersects(b.lat):
+                return 0.0
+            # shortest path runs along a meridian between the lat intervals
+            if a.lat.lo > b.lat.hi:
+                lo, hi = b.lat.hi, a.lat.lo
+            else:
+                lo, hi = a.lat.hi, b.lat.lo
+            return hi - lo
+        # disjoint lng intervals: closest points lie on the nearer pair of
+        # meridian edges; test all four point-vs-edge combinations
+        lo_hi = S1Interval.from_point_pair(a.lng.lo, b.lng.hi)
+        hi_lo = S1Interval.from_point_pair(a.lng.hi, b.lng.lo)
+        if lo_hi.length < hi_lo.length:
+            a_lng, b_lng = a.lng.lo, b.lng.hi
+        else:
+            a_lng, b_lng = a.lng.hi, b.lng.lo
+        from . import sphere
+        a_lo = _latlng_to_xyz(a.lat.lo, a_lng)
+        a_hi = _latlng_to_xyz(a.lat.hi, a_lng)
+        a_n = _latlng_to_xyz(0.0, a_lng - PI / 2)
+        b_lo = _latlng_to_xyz(b.lat.lo, b_lng)
+        b_hi = _latlng_to_xyz(b.lat.hi, b_lng)
+        b_n = _latlng_to_xyz(0.0, b_lng - PI / 2)
+
+        def edge_dist(p, lo, hi, n):
+            return float(sphere.point_edge_distance_with_normal(
+                np.float64(p[0]), np.float64(p[1]), np.float64(p[2]),
+                np.float64(lo[0]), np.float64(lo[1]), np.float64(lo[2]),
+                np.float64(hi[0]), np.float64(hi[1]), np.float64(hi[2]),
+                np.float64(n[0]), np.float64(n[1]), np.float64(n[2])))
+
+        return min(edge_dist(a_lo, b_lo, b_hi, b_n),
+                   edge_dist(a_hi, b_lo, b_hi, b_n),
+                   edge_dist(b_lo, a_lo, a_hi, a_n),
+                   edge_dist(b_hi, a_lo, a_hi, a_n))
+
     def contains_points(self, x, y, z) -> np.ndarray:
         """Vectorized point containment over xyz arrays (the hot-path
         bbox pre-filter, S2LatLngRect.cs:772-775)."""
@@ -408,6 +482,13 @@ class RectBounder:
                 self.bound = LatLngRect(latint, self.bound.lng)
         self._a = (x, y, z)
         self._a_latlng = (lat, lng)
+
+
+def _latlng_to_xyz(lat: float, lng: float) -> tuple[float, float, float]:
+    """S2LatLng.ToPoint for scalar radians (S2LatLng.cs:170-178)."""
+    return (math.cos(lat) * math.cos(lng),
+            math.cos(lat) * math.sin(lng),
+            math.sin(lat))
 
 
 def _robust_cross_scalar(ax, ay, az, bx, by, bz):

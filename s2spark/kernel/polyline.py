@@ -68,6 +68,58 @@ class Polyline:
         dots = np.sum(a * b, axis=1)
         return bool(np.all(np.abs(dots) < 1.0))
 
+    def get_nearest_edge_index(self, x: float, y: float, z: float) -> int:
+        """Index of the first edge closest to the point (S2Polyline.cs:287-311);
+        strict < keeps the lowest index on ties."""
+        d = self._edge_distances(np.float64(x), np.float64(y), np.float64(z))
+        return int(np.argmin(d))
+
+    def project_to_edge(self, x: float, y: float, z: float,
+                        index: int) -> tuple[float, float, float]:
+        """Closest point on edge `index` to the given point
+        (S2Polyline.cs:317-331 -> S2EdgeUtil.GetClosestPoint)."""
+        a = self.vertices[index]
+        b = self.vertices[index + 1]
+        qx, qy, qz = sphere.closest_point_on_edge(
+            np.float64(x), np.float64(y), np.float64(z),
+            np.float64(a[0]), np.float64(a[1]), np.float64(a[2]),
+            np.float64(b[0]), np.float64(b[1]), np.float64(b[2]))
+        return float(qx), float(qy), float(qz)
+
+    def project(self, x: float, y: float, z: float
+                ) -> tuple[tuple[float, float, float], int]:
+        """(closest point on the polyline, nearest edge index)."""
+        i = self.get_nearest_edge_index(x, y, z)
+        return self.project_to_edge(x, y, z, i), i
+
+    def _edge_distances(self, px, py, pz) -> np.ndarray:
+        a = self.vertices[:-1]
+        b = self.vertices[1:]
+        return sphere.point_edge_distance(
+            px, py, pz, a[:, 0], a[:, 1], a[:, 2], b[:, 0], b[:, 1], b[:, 2])
+
+    def project_points(self, px: np.ndarray, py: np.ndarray, pz: np.ndarray
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Batch project: for each input point, (edge_index, qx, qy, qz,
+        distance_rad).  The point x edge distance matrix is vectorized —
+        this is the Arrow-batch kernel behind map-matching UDFs."""
+        a = self.vertices[:-1]
+        b = self.vertices[1:]
+        # (n_edges, n_points) distances via broadcasting; per-edge normals
+        # computed once on (n_edges,) arrays
+        nx, ny, nz = sphere.robust_cross_prod(a[:, 0], a[:, 1], a[:, 2],
+                                              b[:, 0], b[:, 1], b[:, 2])
+        D = sphere.point_edge_distance_with_normal(
+            px[None, :], py[None, :], pz[None, :],
+            a[:, 0:1], a[:, 1:2], a[:, 2:3], b[:, 0:1], b[:, 1:2], b[:, 2:3],
+            nx[:, None], ny[:, None], nz[:, None])
+        idx = np.argmin(D, axis=0)
+        sa = a[idx]
+        sb = b[idx]
+        qx, qy, qz = sphere.closest_point_on_edge(
+            px, py, pz, sa[:, 0], sa[:, 1], sa[:, 2], sb[:, 0], sb[:, 1], sb[:, 2])
+        return idx, qx, qy, qz, D[idx, np.arange(len(px))]
+
     # -- coverer / region contract --------------------------------------------
 
     def rect_bound(self) -> LatLngRect:

@@ -259,9 +259,10 @@ def haversine_radians(lat1, lng1, lat2, lng2):
     return 2 * np.arcsin(np.sqrt(np.minimum(1.0, x)))
 
 
-def point_edge_distance(px, py, pz, ax, ay, az, bx, by, bz):
-    """Min angle from point X to geodesic edge AB (S2EdgeUtil.cs:297-338)."""
-    nx, ny, nz = robust_cross_prod(ax, ay, az, bx, by, bz)
+def point_edge_distance_with_normal(px, py, pz, ax, ay, az, bx, by, bz,
+                                    nx, ny, nz):
+    """Min angle from X to geodesic edge AB given AB's normal N (the 4-arg
+    GetDistance overload, S2EdgeUtil.cs:297-338)."""
     in_wedge = (simple_ccw(nx, ny, nz, ax, ay, az, px, py, pz)
                 & simple_ccw(px, py, pz, bx, by, bz, nx, ny, nz))
     sin_dist = np.abs(dot(px, py, pz, nx, ny, nz)) / norm(nx, ny, nz)
@@ -270,3 +271,35 @@ def point_edge_distance(px, py, pz, ax, ay, az, bx, by, bz):
     db2 = norm2(px - bx, py - by, pz - bz)
     d_end = 2 * np.arcsin(np.minimum(1.0, 0.5 * np.sqrt(np.minimum(da2, db2))))
     return np.where(in_wedge, d_interior, d_end)
+
+
+def point_edge_distance(px, py, pz, ax, ay, az, bx, by, bz):
+    """Min angle from point X to geodesic edge AB (S2EdgeUtil.cs:297-338)."""
+    nx, ny, nz = robust_cross_prod(ax, ay, az, bx, by, bz)
+    return point_edge_distance_with_normal(px, py, pz, ax, ay, az, bx, by, bz,
+                                           nx, ny, nz)
+
+
+def closest_point_on_edge(px, py, pz, ax, ay, az, bx, by, bz):
+    """Point on geodesic edge AB closest to X (S2EdgeUtil.cs:346-363,
+    GetClosestPoint).  Vectorized; inputs broadcast, returns (qx, qy, qz)."""
+    nx, ny, nz = robust_cross_prod(ax, ay, az, bx, by, bz)
+    n2 = norm2(nx, ny, nz)
+    t = dot(px, py, pz, nx, ny, nz) / n2
+    qx, qy, qz = px - t * nx, py - t * ny, pz - t * nz
+    # The on-edge wedge test on q equals the same test on p: q = p - t*n, and
+    # cross(q, n) == cross(p, n), so the CCW signs are unchanged.
+    qn = norm(qx, qy, qz)
+    on_edge = ((qn > 0)
+               & simple_ccw(nx, ny, nz, ax, ay, az, qx, qy, qz)
+               & simple_ccw(qx, qy, qz, bx, by, bz, nx, ny, nz))
+    qn_safe = np.where(qn == 0, 1.0, qn)
+    da2 = norm2(px - ax, py - ay, pz - az)
+    db2 = norm2(px - bx, py - by, pz - bz)
+    use_a = da2 <= db2
+    ex = np.where(use_a, ax, bx)
+    ey = np.where(use_a, ay, by)
+    ez = np.where(use_a, az, bz)
+    return (np.where(on_edge, qx / qn_safe, ex),
+            np.where(on_edge, qy / qn_safe, ey),
+            np.where(on_edge, qz / qn_safe, ez))

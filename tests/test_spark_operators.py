@@ -132,6 +132,57 @@ def test_knn_join_exact(spark):
         assert got_ids == expect, f"query {qid}"
 
 
+def test_rect_distance_column_vs_kernel(spark):
+    """The codegen rect-distance Column equals the scalar kernel
+    (LatLngRect.get_distance_latlng) on random points, incl. a wrapping rect."""
+    import pandas as pd
+    from s2spark.operators.distance_ops import rect_distance, rect_from_degrees
+    rects = {1: (10.0, 20.0, 25.0, 55.0), 2: (40.0, 150.0, 70.0, -160.0)}
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({"pid": np.arange(300),
+                        "lat": rng.uniform(-85, 85, 300),
+                        "lng": rng.uniform(-180, 180, 300)})
+    got = (rect_distance(spark.createDataFrame(pdf), rects)
+           .toPandas().sort_values(["rect_id", "pid"]).reset_index(drop=True))
+    for rid, rect in rects.items():
+        r = rect_from_degrees(rect)
+        sub = got[got.rect_id == rid]
+        for _, row in sub.iterrows():
+            want = r.get_distance_latlng(np.radians(row.lat), np.radians(row.lng))
+            assert row.distance_rad == pytest.approx(want, abs=1e-12)
+
+
+def test_polyline_project_column_vs_kernel(spark):
+    """The codegen projection Column equals the batch kernel
+    (Polyline.project_points) on random points."""
+    import pandas as pd
+    from s2spark.kernel.polyline import Polyline
+    from s2spark.operators.distance_ops import polyline_project
+    track = [(48.0, 2.0), (48.5, 2.5), (49.0, 2.0), (50.0, 4.0)]
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame({"pid": np.arange(300),
+                        "lat": rng.uniform(30, 65, 300),
+                        "lng": rng.uniform(-20, 25, 300)})
+    got = (polyline_project(spark.createDataFrame(pdf), track)
+           .toPandas().sort_values("pid").reset_index(drop=True))
+    lat_r, lng_r = np.radians(pdf["lat"]), np.radians(pdf["lng"])
+    px = np.cos(lat_r) * np.cos(lng_r)
+    py = np.cos(lat_r) * np.sin(lng_r)
+    pz = np.sin(lat_r)
+    line = Polyline(np.array(
+        [[np.cos(np.radians(la)) * np.cos(np.radians(ln)),
+          np.cos(np.radians(la)) * np.sin(np.radians(ln)),
+          np.sin(np.radians(la))] for la, ln in track]))
+    idx, qx, qy, qz, d = line.project_points(
+        px.to_numpy(), py.to_numpy(), pz.to_numpy())
+    assert got["edge_idx"].to_numpy().tolist() == idx.tolist()
+    np.testing.assert_allclose(got["distance_rad"].to_numpy(), d, atol=1e-12)
+    proj_lat = np.degrees(np.arctan2(qz, np.hypot(qx, qy)))
+    proj_lng = np.degrees(np.arctan2(qy, qx))
+    np.testing.assert_allclose(got["proj_lat"].to_numpy(), proj_lat, atol=1e-9)
+    np.testing.assert_allclose(got["proj_lng"].to_numpy(), proj_lng, atol=1e-9)
+
+
 def test_knn_join_partial_results(spark):
     """Queries that cannot reach k matches within max_rounds still return
     their partial neighbor lists (matching exact kNN on a small dataset)."""
