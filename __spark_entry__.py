@@ -313,6 +313,25 @@ def _q_jaccard(spark, sf_dir):
                                      n=8, threshold=0.35)
 
 
+def _q_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs: the banded bucket join that replaces
+    all-pairs comparison at scale."""
+    return dedup.minhash_candidate_pairs(
+        _read(spark, sf_dir, "documents"), n=5, num_hashes=8, bands=4)
+
+
+def _q_multimodal(spark, sf_dir):
+    """Decode -> feature pipeline over binary media payloads (mapInPandas).
+    Payloads are derived from document text (sha256 hex) so the md5-chain
+    fake decode is reproducible in the SQL oracle."""
+    from s2spark.operators.multimodal import media_stats
+    docs = _read(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.sha2(F.col("text"), 256), "UTF-8").alias("payload"))
+    return media_stats(media)
+
+
 def _q_quality(spark, sf_dir):
     q = textstats.quality_features(_read(spark, sf_dir, "documents"))
     return q.select("doc_id", "n_chars_q", "n_tokens", "alpha_ratio",
@@ -347,6 +366,11 @@ def _q_sim_lsh(spark, sf_dir):
     queries_df = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding")
     return similarity.lsh_topk(emb, queries_df, k=5, dim=64, bits=10)
+
+
+def _q_near_dup(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.2, dim=64, bits=10)
 
 
 def _q_embedding_stats(spark, sf_dir):
@@ -418,6 +442,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": _q_minhash,
         "dedup_simhash": _q_simhash,
         "dedup_ngram_jaccard": _q_jaccard,
+        "dedup_lsh_pairs": _q_lsh_pairs,
+        "multimodal_features": _q_multimodal,
+        "similarity_near_dup_pairs": _q_near_dup,
         "text_quality": _q_quality,
         "text_langid": _q_langid,
         "text_fingerprint": _q_fingerprint,
@@ -489,6 +516,76 @@ WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= {threshold}
 """
 
 
+def _lsh_pairs_oracle_sql(num_hashes: int = 8, bands: int = 4, n: int = 5) -> str:
+    params = dedup._minhash_params(num_hashes)
+    m = dedup.MERSENNE
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {m}) AS mh{i}" for i, (a, b) in enumerate(params))
+    rpb = num_hashes // bands
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {bnd} AS band, md5(concat_ws('_', "
+        + ", ".join(f"mh{bnd * rpb + r}::VARCHAR" for r in range(rpb))
+        + ")) AS bucket FROM sig"
+        for bnd in range(bands))
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+sh AS (SELECT doc_id,
+       unnest(list_distinct([substr(t, i, {n}) for i in range(1, greatest(length(t) - {n - 1}, 1) + 1)])) AS s
+       FROM norm),
+hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+buckets AS ({band_selects})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM buckets a JOIN buckets b USING (band, bucket)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def _srp_sketch_sql(vec_expr: str, dim: int, bits: int) -> str:
+    """SRP sketch in SQL: same literal projection vectors, same rounded-sign
+    rule as similarity.srp_sketch."""
+    projs = similarity._projection_vectors(dim, bits)
+    terms = [
+        f"(CASE WHEN round(list_dot_product({vec_expr}, {proj!r}), 6) >= 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b, proj in enumerate(projs)]
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def _lsh_topk_oracle_sql(k: int = 5, dim: int = 64, bits: int = 10) -> str:
+    probes = ", ".join(["sketch"] + [f"xor(sketch, {1 << b})" for b in range(bits)])
+    return f"""
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+db AS (SELECT vec_id, v, {_srp_sketch_sql('v', dim, bits)} AS bucket FROM d),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS sketch FROM db WHERE vec_id < 8),
+probes AS (SELECT query_id, unnest([{probes}]) AS bucket FROM q),
+cand AS (SELECT DISTINCT p.query_id, db.vec_id
+         FROM probes p JOIN db USING (bucket)),
+scored AS (SELECT c.query_id, c.vec_id,
+           round(list_dot_product(qd.v, dd.v) /
+                 (sqrt(list_dot_product(qd.v, qd.v)) * sqrt(list_dot_product(dd.v, dd.v))), 4) AS cos_sim
+           FROM cand c
+           JOIN d dd ON dd.vec_id = c.vec_id
+           JOIN d qd ON qd.vec_id = c.query_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM scored)
+SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _near_dup_oracle_sql(threshold: float = 0.2, dim: int = 64,
+                         bits: int = 10) -> str:
+    return f"""
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+db AS (SELECT vec_id, v, {_srp_sketch_sql('v', dim, bits)} AS bucket FROM d),
+pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+          FROM db a JOIN db b USING (bucket) WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
+"""
+
+
 def _langid_oracle_sql() -> str:
     markers = textstats.LANG_MARKERS
     score_rows = " UNION ALL ".join(
@@ -543,6 +640,12 @@ def _rect_distance_oracle_sql() -> str:
 def _polyline_project_oracle() -> str:
     from s2spark.operators.distance_ops import polyline_project_oracle_sql
     return polyline_project_oracle_sql(_DOCS_GEO_SQL, _PROJECT_TRACK)
+
+
+def _multimodal_oracle_sql() -> str:
+    from s2spark.operators.multimodal import media_stats_oracle_sql
+    return media_stats_oracle_sql(
+        "SELECT doc_id AS media_id, sha256(text) AS p FROM documents")
 
 
 def _sim_bruteforce_oracle_sql() -> str:
@@ -658,6 +761,10 @@ FROM per_session GROUP BY user_id
         "dedup_minhash_signatures": _minhash_oracle_sql(8),
         "dedup_simhash": _simhash_oracle_sql(16),
         "dedup_ngram_jaccard": _jaccard_oracle_sql(),
+        "dedup_lsh_pairs": _lsh_pairs_oracle_sql(),
+        "multimodal_features": _multimodal_oracle_sql(),
+        "similarity_lsh_topk": _lsh_topk_oracle_sql(),
+        "similarity_near_dup_pairs": _near_dup_oracle_sql(),
         "text_quality": _quality_oracle_sql(),
         "text_langid": _langid_oracle_sql(),
         "text_fingerprint": (
@@ -718,6 +825,4 @@ ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d ASC, da
 SELECT query_id, data_id, round(d, 6) AS dist_r FROM ranked
 WHERE rn <= 3 AND data_id != query_id
 """,
-        # similarity_lsh_topk is intentionally omitted: SRP sign buckets are
-        # FP-sum-order sensitive across engines -> rows-only driver check.
     }

@@ -124,13 +124,28 @@ def simhash(documents: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(documents: DataFrame, text_col: str = "text",
                         key_col: str = "doc_id", n: int = 5,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        df_cap: int | None = 100_000) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle
-    (inverted-index join; |A|,|B| precomputed, intersection counted once)."""
+    (inverted-index join; |A|,|B| precomputed, intersection counted once).
+
+    df_cap bounds the document frequency of any shingle entering the
+    self-join: a "stop shingle" shared by 10^6 docs would emit 10^12 pairs
+    for that single key and detonate one reducer at 100 TB.  Shingles with
+    df > df_cap are dropped from the INTERSECTION counting only (set sizes
+    stay exact), so reported Jaccard is a lower bound for pairs sharing a
+    hot shingle and exact otherwise.  With df_cap >= the corpus's true max
+    df the output is bit-identical to the uncapped join.  df_cap=None
+    disables the cap (exact, unsafe at scale)."""
     ex = _exploded_shingles(documents, text_col, key_col, n)
     sizes = ex.groupBy(key_col).agg(F.count(F.lit(1)).alias("sz"))
-    l = ex.select(F.col("shingle"), F.col(key_col).alias("id_a"))
-    r = ex.select(F.col("shingle"), F.col(key_col).alias("id_b"))
+    exj = ex
+    if df_cap is not None:
+        keep = (ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") <= df_cap).select("shingle"))
+        exj = ex.join(keep, "shingle", "semi")
+    l = exj.select(F.col("shingle"), F.col(key_col).alias("id_a"))
+    r = exj.select(F.col("shingle"), F.col(key_col).alias("id_b"))
     inter = (l.join(r, "shingle").where(F.col("id_a") < F.col("id_b"))
              .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter")))
     sz_a = sizes.select(F.col(key_col).alias("id_a"), F.col("sz").alias("sz_a"))

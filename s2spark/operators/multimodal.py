@@ -23,8 +23,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
-                               LongType, StringType, StructField, StructType)
+from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, FloatType,
+                               IntegerType, LongType, StringType, StructField,
+                               StructType)
 
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType()),
@@ -63,14 +64,18 @@ def synthesize_media(spark, n_rows: int) -> DataFrame:
 
 
 def _decode_image(payload: bytes, deterministic_fake: bool) -> np.ndarray:
-    """STUB: real decode needs an image codec (PIL/cv2 not in container)."""
+    """STUB: real decode needs an image codec (PIL/cv2 not in container).
+
+    The deterministic fake derives an 8x8x3 "image" from an md5 chain over
+    the payload — pure hash arithmetic, so any engine (incl. the DuckDB
+    oracle) reproduces the exact pixel bytes."""
     if not deterministic_fake:
         raise NotImplementedError(
             "image decode requires a codec library; pass deterministic_fake=True "
             "for the seeded fake decode used in tests/benchmarks")
-    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    raw = b"".join(hashlib.md5(payload + b"_" + str(i).encode()).digest()
+                   for i in range(12))
+    return np.frombuffer(raw, dtype=np.uint8).reshape(8, 8, 3).copy()
 
 
 def extract_features(media: DataFrame, deterministic_fake: bool = True,
@@ -99,6 +104,74 @@ def extract_features(media: DataFrame, deterministic_fake: bool = True,
             })
 
     return src.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+MEDIA_STATS_SCHEMA = StructType(
+    [StructField("media_id", LongType())]
+    + [StructField(f"mean_{c}", DoubleType()) for c in "rgb"]
+    + [StructField(f"std_{c}", DoubleType()) for c in "rgb"]
+    + [StructField(f"h{b}", LongType()) for b in range(6)])
+
+
+def media_stats(media: DataFrame, key_col: str = "media_id",
+                payload_col: str = "payload",
+                deterministic_fake: bool = True) -> DataFrame:
+    """Per-media decoded-pixel stats: channel means/stds (rounded to 6) and
+    a 6-bin histogram of integer pixel-channel sums (exact ints) — the
+    oracle-checkable face of the decode -> feature pipeline.
+
+    The histogram bins on the INTEGER sum of the 3 channel bytes
+    (bin = sum3 // 128, sum3 in [0, 765] -> bins 0..5) so binning is exact
+    arithmetic in every engine, immune to FP boundary flips."""
+    src = media.select(key_col, payload_col)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[key_col], pdf[payload_col]):
+                img = _decode_image(bytes(payload), deterministic_fake)
+                px = img.reshape(-1, 3).astype(np.float64)
+                scaled = px / 255.0
+                mean = np.round(scaled.mean(axis=0), 6)
+                std = np.round(scaled.std(axis=0), 6)
+                bins = np.bincount(px.astype(np.int64).sum(axis=1) // 128,
+                                   minlength=6)
+                rows.append((mid, *mean, *std, *bins[:6]))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_STATS_SCHEMA])
+
+    return src.mapInPandas(stats, schema=MEDIA_STATS_SCHEMA)
+
+
+def media_stats_oracle_sql(src_sql: str, key_col: str = "media_id",
+                           payload_col: str = "p") -> str:
+    """DuckDB query reproducing media_stats for a source that yields the
+    payload as a STRING column (md5 chain is computed on its UTF-8 text)."""
+    mean_cols = ", ".join(
+        f"max(CASE WHEN ch = {i} THEN m END) AS mean_{c}"
+        for i, c in enumerate("rgb"))
+    std_cols = ", ".join(
+        f"max(CASE WHEN ch = {i} THEN s END) AS std_{c}"
+        for i, c in enumerate("rgb"))
+    hist_cols = ", ".join(
+        f"coalesce(max(CASE WHEN bin = {b} THEN c END), 0) AS h{b}"
+        for b in range(6))
+    return f"""
+WITH src AS ({src_sql}),
+chains AS (SELECT {key_col}, i, md5({payload_col} || '_' || CAST(i AS VARCHAR)) AS h
+           FROM src CROSS JOIN range(12) t(i)),
+bytes AS (SELECT {key_col}, (i*16 + j) AS bi,
+          ('0x' || substr(h, CAST(j*2 + 1 AS INT), 2))::BIGINT AS b
+          FROM chains CROSS JOIN range(16) s(j)),
+px AS (SELECT {key_col}, bi // 3 AS pix, bi % 3 AS ch, b FROM bytes),
+chan AS (SELECT {key_col}, ch, round(avg(b/255.0), 6) AS m,
+         round(stddev_pop(b/255.0), 6) AS s FROM px GROUP BY 1, 2),
+pixsum AS (SELECT {key_col}, pix, sum(b) AS s3 FROM px GROUP BY 1, 2),
+hist AS (SELECT {key_col}, least(s3 // 128, 5) AS bin, count(*) AS c
+         FROM pixsum GROUP BY 1, 2),
+chan_p AS (SELECT {key_col}, {mean_cols}, {std_cols} FROM chan GROUP BY 1),
+hist_p AS (SELECT {key_col}, {hist_cols} FROM hist GROUP BY 1)
+SELECT * FROM chan_p JOIN hist_p USING ({key_col})
+"""
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -71,11 +71,17 @@ def _projection_vectors(dim: int, bits: int) -> list[list[float]]:
 
 
 def srp_sketch(vec: Column, dim: int, bits: int = 16) -> Column:
-    """Sign-random-projection b-bit sketch as a single integer Column."""
+    """Sign-random-projection b-bit sketch as a single integer Column.
+
+    The projection dot product is rounded to 6 decimals BEFORE taking the
+    sign: the raw sign of an FP sum is sensitive to summation order across
+    engines (a dot near 0 can flip), while a rounded value only differs if
+    two engines straddle a 1e-6 boundary — which makes the sketch portable
+    enough for a DuckDB oracle."""
     projections = _projection_vectors(dim, bits)
     sketch = F.lit(0).cast("long")
     for b, proj in enumerate(projections):
-        d = _dot(vec, F.lit(proj))
+        d = F.round(_dot(vec, F.lit(proj)), 6)
         sketch = sketch + F.when(d >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
     return sketch
 
@@ -93,12 +99,14 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int, dim: int,
                      *[F.col("sketch").bitwiseXOR(F.lit(1 << b).cast("long"))
                        for b in range(bits)])
     q = q.withColumn("bucket", F.explode(probes))
-    scored = (d.join(F.broadcast(q), "bucket")
-              .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("v")), 4)))
-    w = Window.partitionBy(query_key).orderBy(F.desc("cos_sim"), F.col(key_col))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
+    # dedupe candidates BEFORE ranking: a data vector reachable through
+    # several probe buckets must hold one rank, not occupy several
+    cand = (d.join(F.broadcast(q), "bucket")
             .dropDuplicates([query_key, key_col])
+            .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("v")), 4)))
+    w = Window.partitionBy(query_key).orderBy(F.desc("cos_sim"), F.col(key_col))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
             .select(query_key, key_col, "cos_sim", "rank"))
 
 

@@ -132,6 +132,48 @@ def test_knn_join_exact(spark):
         assert got_ids == expect, f"query {qid}"
 
 
+def test_jaccard_df_cap(spark):
+    """df_cap >= max shingle frequency leaves output unchanged; a tiny cap
+    removes hot-shingle contributions (lower-bound Jaccard)."""
+    import pandas as pd
+    from s2spark.operators.dedup import ngram_jaccard_pairs
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["the quick brown fox jumps", "the quick brown fox leaps",
+                 "a completely different text", "a completely different text!",
+                 "the quick brown fox jumps", "unrelated content here"]}))
+    exact = ngram_jaccard_pairs(docs, n=4, threshold=0.3, df_cap=None).toPandas()
+    capped_loose = ngram_jaccard_pairs(docs, n=4, threshold=0.3,
+                                       df_cap=1000).toPandas()
+    key = lambda d: sorted(map(tuple, d[["id_a", "id_b", "jaccard"]].values.tolist()))
+    assert key(exact) == key(capped_loose)
+    capped_tight = ngram_jaccard_pairs(docs, n=4, threshold=0.3,
+                                       df_cap=1).toPandas()
+    assert len(capped_tight) == 0  # every shared shingle has df >= 2
+
+
+def test_multimodal_media_stats(spark):
+    """mapInPandas decode->stats pipeline: deterministic fake decode,
+    histogram sums to 64 pixels, stats match a direct numpy recompute."""
+    import hashlib
+    from s2spark.operators.multimodal import media_stats, synthesize_media
+    media = synthesize_media(spark, 50)
+    got = media_stats(media).toPandas().sort_values("media_id").reset_index(drop=True)
+    assert len(got) == 50
+    hist = got[[f"h{b}" for b in range(6)]].to_numpy()
+    assert (hist.sum(axis=1) == 64).all()
+    # recompute row 0 independently
+    payload = bytes(media.where(F.col("media_id") == 0)
+                    .select("payload").collect()[0][0])
+    raw = b"".join(hashlib.md5(payload + b"_" + str(i).encode()).digest()
+                   for i in range(12))
+    px = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.float64)
+    assert got.loc[0, "mean_r"] == pytest.approx(
+        round((px[:, 0] / 255.0).mean(), 6), abs=1e-12)
+    assert got.loc[0, "std_b"] == pytest.approx(
+        round((px[:, 2] / 255.0).std(), 6), abs=1e-12)
+
+
 def test_rect_distance_column_vs_kernel(spark):
     """The codegen rect-distance Column equals the scalar kernel
     (LatLngRect.get_distance_latlng) on random points, incl. a wrapping rect."""
