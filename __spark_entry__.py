@@ -220,6 +220,22 @@ def _q_cap_query(spark, sf_dir):
                       F.round(F.col("distance_rad"), 9).alias("dist_r"))
 
 
+_BUFFER_RADIUS = 0.15  # radians; "pages within ~950 km of the polygon"
+_BUFFER_POLYGONS = {2: _JOIN_POLYGONS[2], 3: _JOIN_POLYGONS[3]}
+
+
+def _q_buffered_join(spark, sf_dir):
+    """Radius-buffered polygon join: CellUnion.Expand(radius, maxLevelDiff)
+    covering join + exact codegen distance residual."""
+    from s2spark.operators.distance_ops import buffered_polygon_join
+    pts = C.with_cell_id(_docs_geo(spark, sf_dir), "lat", "lng")
+    out = buffered_polygon_join(
+        spark, pts.select("doc_id", "lat", "lng", "cell_id"),
+        _BUFFER_POLYGONS, _BUFFER_RADIUS)
+    return out.select("doc_id", "polygon_id",
+                      F.round("distance_rad", 9).alias("dist_r"))
+
+
 def _q_rect_distance(spark, sf_dir):
     """Point-to-rect distance (S2LatLngRect.GetDistance) for every doc
     against the 3 query rects — pure codegen arithmetic, no shuffle."""
@@ -433,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_rect_query": _q_rect_query,
         "s2_cap_query": _q_cap_query,
         "s2_boolean_pip": _q_boolean_pip,
+        "s2_buffered_join": _q_buffered_join,
         "s2_rect_distance": _q_rect_distance,
         "s2_polyline_project": _q_polyline_project,
         "s2_polyline_length": _q_polyline_length,
@@ -626,6 +643,19 @@ FROM feat
 """
 
 
+def _buffered_join_oracle_sql() -> str:
+    from s2spark.operators.distance_ops import (XYZ_COLS_SQL,
+                                                convex_polygon_distance_sql)
+    xyz = ", ".join(f"{v} AS {k}" for k, v in XYZ_COLS_SQL.items())
+    per_poly = " UNION ALL ".join(
+        f"SELECT doc_id, {pid} AS polygon_id, "
+        f"round({convex_polygon_distance_sql(poly)}, 9) AS dist_r FROM p "
+        f"WHERE {convex_polygon_distance_sql(poly)} <= {_BUFFER_RADIUS!r}"
+        for pid, poly in _BUFFER_POLYGONS.items())
+    return (f"WITH src AS ({_DOCS_GEO_SQL}), "
+            f"p AS (SELECT doc_id, lat, lng, {xyz} FROM src) {per_poly}")
+
+
 def _rect_distance_oracle_sql() -> str:
     from s2spark.operators.distance_ops import XYZ_COLS_SQL, rect_distance_sql
     xyz = ", ".join(f"{v} AS {k}" for k, v in XYZ_COLS_SQL.items())
@@ -728,6 +758,7 @@ def oracle_sql() -> dict[str, str]:
                 f"(sin((radians({b[1]}) - radians(lng))/2) * sin((radians({b[1]}) - radians(lng))/2))))) AS d FROM src) "
                 f"WHERE d <= {b[2]}"
                 for cid, b in _QUERY_CAPS.items())),
+        "s2_buffered_join": _buffered_join_oracle_sql(),
         "s2_rect_distance": _rect_distance_oracle_sql(),
         "s2_polyline_project": _polyline_project_oracle(),
         "s2_polyline_length": f"""

@@ -273,6 +273,43 @@ def intersects(a, b) -> np.ndarray:
     return (range_min(b) <= range_max(a)) & (range_max(b) >= range_min(a))
 
 
+SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _lca_from_xor(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Smallest cell containing leaf a and every leaf whose xor with a is
+    folded into x; SENTINEL where face bits differ.  O(1) bit trick in place
+    of the reference's parent-chasing loop (S2EdgeIndex.cs:270-313): the
+    highest differing bit h maps to LCA level 30 - (h+1)//2."""
+    y = x.copy()
+    for s in (1, 2, 4, 8, 16, 32):
+        y = y | (y >> np.uint64(s))
+    msb = y ^ (y >> np.uint64(1))          # power of two -> frexp is exact
+    h = np.frexp(msb.astype(np.float64))[1] - 1
+    level = np.where(x == 0, MAX_LEVEL, MAX_LEVEL - ((h + 1) >> 1))
+    face_differs = (x >> _U(POS_BITS)) != 0
+    return np.where(face_differs, SENTINEL,
+                    parent_for_level(a, np.maximum(level, 0)))
+
+
+def containing_cell(a, b) -> np.ndarray:
+    """Smallest cell containing both leaf cells, SENTINEL if the faces
+    differ (S2EdgeIndex.cs:296-313, ContainingCell)."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    return _lca_from_xor(a, a ^ b)
+
+
+def containing_cell4(a, b, c, d) -> np.ndarray:
+    """Smallest cell containing all four leaf cells, SENTINEL if they span
+    faces (S2EdgeIndex.cs:270-294)."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    c = np.asarray(c, dtype=np.uint64)
+    d = np.asarray(d, dtype=np.uint64)
+    return _lca_from_xor(a, (a ^ b) | (a ^ c) | (a ^ d))
+
+
 def child_begin_for_level(ids, level) -> np.ndarray:
     ids = np.asarray(ids, dtype=np.uint64)
     return ids - lowest_on_bit(ids) + lowest_on_bit_for_level(level)

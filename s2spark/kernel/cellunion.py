@@ -198,6 +198,35 @@ def expand_level(ids, level: int) -> np.ndarray:
     return normalize(np.array(out, dtype=np.uint64))
 
 
+def expand_radius(ids, min_radius_rad: float, max_level_diff: int) -> np.ndarray:
+    """Buffer the union so it contains every point within min_radius_rad,
+    without using cells more than max_level_diff levels finer than the
+    largest input cell (S2CellUnion.cs:618-650, Expand(S1Angle, int))."""
+    from . import metrics
+    ids = np.asarray(ids, dtype=np.uint64)
+    if len(ids) == 0:
+        return ids
+    min_level = int(ci.level_of(ids).min())
+    # max level at which every cell is at least min_radius wide
+    radius_level = metrics.MIN_WIDTH.get_max_level(min_radius_rad)
+    if radius_level == 0 and min_radius_rad > metrics.MIN_WIDTH.get_value(0):
+        # expansion wider than a face cell: expand twice at level 0
+        ids = expand_level(ids, 0)
+    return expand_level(ids, min(min_level + max_level_diff, radius_level))
+
+
+def approx_area(ids) -> float:
+    """Sum of per-cell ApproxArea (S2CellUnion.cs:82-93)."""
+    from .cell import Cell
+    return sum(Cell(int(c)).approx_area() for c in np.asarray(ids, dtype=np.uint64))
+
+
+def exact_area(ids) -> float:
+    """Sum of per-cell ExactArea (S2CellUnion.cs:101-113)."""
+    from .cell import Cell
+    return sum(Cell(int(c)).exact_area() for c in np.asarray(ids, dtype=np.uint64))
+
+
 def leaf_cells_covered(ids) -> int:
     """Sum of 4^(30-level) over cells (S2CellUnion.cs:41-56)."""
     ids = np.asarray(ids, dtype=np.uint64)

@@ -213,6 +213,69 @@ def polyline_project(df: DataFrame,
                     *e["d_cols"].keys())
 
 
+def convex_polygon_distance_sql(poly) -> str:
+    """SQL text: distance (radians) from (px,py,pz) to a CONVEX single-loop
+    polygon — 0 inside, else min geodesic distance to the boundary edges
+    (Loop.GetDistance semantics for the convex case, S2Loop.cs:328-352).
+    Convexity makes the inside test an AND chain of triple-product signs."""
+    verts = [tuple(map(float, v)) for v in poly.loops[0].vertices]
+    n = len(verts)
+    inside_terms = []
+    edge_dists = []
+    for i in range(n):
+        a, b = verts[i], verts[(i + 1) % n]
+        c = _cross(a, b)
+        inside_terms.append(f"({_dot_sql(c)} > 0)")
+        edge_dists.append(point_edge_distance_sql(a, b))
+    inside = "(" + " AND ".join(inside_terms) + ")"
+    return (f"(CASE WHEN {inside} THEN 0.0 "
+            f"ELSE least({', '.join(edge_dists)}) END)")
+
+
+def buffered_polygon_join(spark, pts: DataFrame, polys: dict,
+                          radius_rad: float, coverer_max_cells: int = 16,
+                          max_level_diff: int = 4) -> DataFrame:
+    """Points within radius_rad of each (convex) polygon: "pages within
+    5 km of any park".
+
+    Plan: polygon covering -> CellUnion.Expand(radius, maxLevelDiff)
+    (S2CellUnion.cs:618-650) -> broadcast equi-join on ancestor-at-level
+    keys (the buffered union is normalized/disjoint, so each point matches
+    at most one cell -> no dedupe) -> exact codegen distance residual.
+    At 100 TB: one map-side broadcast join + arithmetic, no shuffle."""
+    import numpy as np
+
+    from ..functions import columns as C
+    from ..kernel import cellid as cik
+    from ..kernel import cellunion as cuk
+    from ..kernel.coverer import RegionCoverer
+
+    rows = []
+    residual = None
+    for pid, poly in polys.items():
+        cover = RegionCoverer(max_cells=coverer_max_cells).get_covering(poly)
+        buf = cuk.expand_radius(np.asarray(cover, dtype=np.uint64),
+                                radius_rad, max_level_diff)
+        levels = cik.level_of(buf)
+        for cell, lvl in zip(cik.to_signed(buf).tolist(), levels.tolist()):
+            rows.append((pid, int(cell), int(lvl)))
+        dist = F.expr(convex_polygon_distance_sql(poly))
+        residual = (F.when(F.col("polygon_id") == pid, dist)
+                    if residual is None
+                    else residual.when(F.col("polygon_id") == pid, dist))
+    cov = spark.createDataFrame(
+        rows, "polygon_id int, cov_cell long, cov_level int")
+    join_levels = sorted({r[2] for r in rows})
+    probe = with_xyz(pts).withColumn(
+        "probe_cell",
+        F.explode(F.array(*[C.parent_for_level(F.col("cell_id"), lv)
+                            for lv in join_levels])))
+    cand = probe.join(F.broadcast(cov), probe.probe_cell == cov.cov_cell)
+    return (cand.withColumn("distance_rad", residual)
+            .where(F.col("distance_rad") <= radius_rad)
+            .drop("px", "py", "pz", "probe_cell", "cov_cell", "cov_level"))
+
+
 def polyline_project_oracle_sql(src_sql: str,
                                 latlngs_deg: list[tuple[float, float]],
                                 id_col: str = "doc_id") -> str:

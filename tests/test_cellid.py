@@ -197,3 +197,41 @@ def test_wrap_identities():
             np.array([0xBFFFFFFFFFFFFFFF], dtype=U), level)  # last leaf of face 5
         step = 2 * int(ci.lowest_on_bit_for_level(np.array([level]))[0])
         assert (int(last_f5[0]) + step) % wrap_offset == int(first[0])
+
+
+def test_containing_cell_lca(rng):
+    """LCA bit trick == reference parent-chasing loop (S2EdgeIndex.cs:270-313)."""
+    from tests.conftest import random_points
+    x, y, z = random_points(rng, 400)
+    a = ci.from_point(x[:200], y[:200], z[:200])
+    b = ci.from_point(x[200:], y[200:], z[200:])
+    got = ci.containing_cell(a, b)
+
+    def brute(u, v):
+        if (u >> 61) != (v >> 61):
+            return 0xFFFFFFFFFFFFFFFF
+        lu, lv = np.array([u], dtype=U), np.array([v], dtype=U)
+        while int(lu[0]) != int(lv[0]):
+            lvl = int(ci.level_of(lu)[0]) - 1
+            lu = ci.parent_for_level(lu, lvl)
+            lv = ci.parent_for_level(lv, lvl)
+        return int(lu[0])
+
+    for i in range(200):
+        assert int(got[i]) == brute(int(a[i]), int(b[i])), i
+    # identical leaves -> the leaf itself
+    same = ci.containing_cell(a, a)
+    assert np.array_equal(same, a)
+    # sibling leaves -> the level-29 parent
+    sib = a ^ np.uint64(2)
+    assert np.array_equal(ci.containing_cell(a, sib),
+                          ci.parent_for_level(a, 29))
+    # 4-point version: pairwise folding (LCA is associative)
+    g4 = ci.containing_cell4(a[:100], b[:100], a[100:200], b[100:200])
+    SENT = 0xFFFFFFFFFFFFFFFF
+    for i in range(100):
+        w = brute(int(a[i]), int(b[i]))
+        for other in (int(a[100 + i]), int(b[100 + i])):
+            if w != SENT:
+                w = brute(w, other)
+        assert int(g4[i]) == w, i

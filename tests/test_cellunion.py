@@ -3,6 +3,7 @@
 mis-copied duplicate of S2Test, so behavior is pinned via invariants)."""
 
 import numpy as np
+import pytest
 
 from s2spark.kernel import cellid as ci
 from s2spark.kernel import cellunion as cu
@@ -93,3 +94,54 @@ def test_expand_level_contains_original(rng):
 def test_leaf_cells_covered():
     face = ci.from_face_pos_level(np.array([0]), np.array([0], dtype=U), 0)
     assert cu.leaf_cells_covered(np.atleast_1d(face)) == 4 ** 30
+
+
+def test_expand_radius_contains_buffer(rng):
+    """Expand(radius, maxLevelDiff): every point within radius of the union
+    is contained afterwards (S2CellUnion.cs:618-650 guarantee)."""
+    import math
+    from s2spark.kernel import sphere
+    x, y, z = random_points(rng, 5)
+    a = cu.normalize(ci.parent_for_level(ci.from_point(x, y, z), 10))
+    radius = 0.01
+    ex = cu.expand_radius(a, radius, max_level_diff=6)
+    # probes: cell centers of a, displaced by < radius in random directions
+    cx, cy, cz = ci.to_point(a)
+    for frac in (0.0, 0.5, 0.99):
+        ox, oy, oz = sphere.ortho(cx, cy, cz)
+        t = frac * radius
+        px = cx * math.cos(t) + ox * np.sin(t)
+        py = cy * math.cos(t) + oy * np.sin(t)
+        pz = cz * math.cos(t) + oz * np.sin(t)
+        q = ci.from_point(px, py, pz)
+        assert np.all(cu.contains_id(ex, q)), frac
+    # max_level_diff bound: no output cell more than 6 levels finer than the
+    # largest input cell
+    min_in = int(ci.level_of(a).min())
+    assert int(ci.level_of(ex).max()) <= max(min_in + 6,
+                                             int(ci.level_of(a).max()))
+
+
+def test_expand_radius_wider_than_face():
+    """Radius wider than a face cell triggers the double level-0 expand."""
+    leaf = ci.from_latlng_deg(np.array([10.0]), np.array([20.0]))
+    ex = cu.expand_radius(np.atleast_1d(leaf), 2.0, max_level_diff=2)
+    # 2 radians covers most of the sphere: every face present
+    faces = np.unique(np.asarray(ex, dtype=np.uint64) >> np.uint64(61))
+    assert len(faces) == 6
+
+
+def test_union_areas():
+    """ApproxArea/ExactArea (S2CellUnion.cs:75-113): children sum to their
+    parent's exact area; a full face is 4pi/6."""
+    import math
+    from s2spark.kernel.cell import Cell
+    face = np.atleast_1d(ci.from_face_pos_level(np.array([1]),
+                                                np.array([0], dtype=U), 0))
+    assert cu.exact_area(face) == pytest.approx(4 * math.pi / 6, rel=1e-12)
+    kids = ci.children(face).ravel()
+    assert cu.exact_area(kids) == pytest.approx(cu.exact_area(face), rel=1e-12)
+    # approx area is within the reference's stated bounds of exact
+    assert cu.approx_area(kids) == pytest.approx(cu.exact_area(kids), rel=0.06)
+    # average-based area of a face equals the face share of the sphere
+    assert cu.average_based_area(face) == pytest.approx(4 * math.pi / 6, rel=1e-9)
