@@ -184,9 +184,12 @@ def _q_point_in_polygon_shuffle(spark, sf_dir):
                                                         spatial_join_shuffle)
     pts = points_with_cells(_docs_geo(spark, sf_dir))
     pdf = polygons_to_df(spark, _JOIN_POLYGONS)
+    # sf-scaled hot detection: 20% sample keeps the salting path exercised
+    # on 500 docs (production default is a 0.1% sample)
     out = spatial_join_shuffle(
         spark, pts.select("doc_id", "cell_id", "x", "y", "z"), pdf,
-        hot_threshold=200, n_salt=4, point_key="doc_id")
+        hot_threshold=200, n_salt=4, point_key="doc_id",
+        hot_sample_fraction=0.2)
     return out.select("doc_id", "polygon_id")
 
 

@@ -112,13 +112,21 @@ def spatial_join_shuffle(spark: SparkSession, points: DataFrame,
                          cell_col: str = "cell_id",
                          n_salt: int = 8,
                          hot_threshold: int = 2_000_000,
-                         point_key: str = "url") -> DataFrame:
+                         point_key: str = "url",
+                         hot_sample_fraction: float = 0.001) -> DataFrame:
     """points (leaf cell_col + x,y,z) x polygons table -> (point rows,
     polygon_id) via shuffle hash join on covering cells with hot-cell
     salting, then grouped exact refine.
 
     hot_threshold: probe-hits per covering cell above which the cell's
     build rows are replicated n_salt ways (shuffle-key splitting).
+
+    hot_sample_fraction: the hot-cell detector runs on a SAMPLE of the
+    probe side (counts scaled back up) so detection doesn't cost a second
+    full pass over the 100 TB input.  At the default 0.1% a cell at a 2M
+    threshold yields ~2000 sampled hits (Poisson sigma ~45): detection is
+    reliable, and borderline flips only change load balance, never results.
+    Pass 1.0 for the exact full-pass count.
     """
     if coverings is None:
         coverings = build_coverings_distributed(polygons_df)
@@ -130,11 +138,19 @@ def spatial_join_shuffle(spark: SparkSession, points: DataFrame,
     probed = points.withColumn("probe_cell", F.explode(probe_keys))
 
     # hot-cell detection: probe hits per covering cell (semi-joined so we
-    # only count cells that exist on the build side)
+    # only count cells that exist on the build side).  Sample BEFORE the
+    # encode/explode so unsampled rows never compute probe keys.
     cov_cells = coverings.select(F.col("cov_cell_id").alias("probe_cell")).distinct()
-    hits = (probed.join(cov_cells, "probe_cell", "left_semi")
+    if hot_sample_fraction < 1.0:
+        detect_src = (points.sample(hot_sample_fraction, seed=42)
+                      .withColumn("probe_cell", F.explode(probe_keys)))
+        sampled_threshold = max(1.0, hot_threshold * hot_sample_fraction)
+    else:
+        detect_src = probed
+        sampled_threshold = float(hot_threshold)
+    hits = (detect_src.join(cov_cells, "probe_cell", "left_semi")
             .groupBy("probe_cell").agg(F.count(F.lit(1)).alias("n_hits")))
-    hot = [r[0] for r in hits.where(F.col("n_hits") >= hot_threshold)
+    hot = [r[0] for r in hits.where(F.col("n_hits") >= sampled_threshold)
            .select("probe_cell").collect()]
 
     if hot:
