@@ -77,14 +77,37 @@ def _distance_fraction(x: Point, a0: Point, a1: Point) -> float:
 
 
 class PolygonBuilder:
-    """Directed-XOR edge collector + leftmost-turn loop assembly
-    (S2PolygonBuilderOptions.DirectedXor, S2PolygonBuilder.cs:678-782)."""
+    """Edge collector + leftmost-turn loop assembly with the full option
+    matrix {un,}directed x {xor,union} (S2PolygonBuilderOptions,
+    S2PolygonBuilder.cs:678-782), PointIndex-clustered vertex merging
+    (:486-547, :593-675) and optional loop/polygon validation."""
 
     def __init__(self, xor_edges: bool = True,
+                 undirected_edges: bool = False,
+                 validate: bool = False,
                  merge_distance: float = DEFAULT_INTERSECTION_TOLERANCE):
         self.xor_edges = xor_edges
+        self.undirected_edges = undirected_edges
+        self.validate = validate
         self.merge_distance = merge_distance
         self.edges: dict[Point, Counter] = defaultdict(Counter)
+
+    # the four reference presets (S2PolygonBuilderOptions.cs fields)
+    @classmethod
+    def directed_xor(cls, **kw) -> "PolygonBuilder":
+        return cls(xor_edges=True, undirected_edges=False, **kw)
+
+    @classmethod
+    def undirected_xor(cls, **kw) -> "PolygonBuilder":
+        return cls(xor_edges=True, undirected_edges=True, **kw)
+
+    @classmethod
+    def directed_union(cls, **kw) -> "PolygonBuilder":
+        return cls(xor_edges=False, undirected_edges=False, **kw)
+
+    @classmethod
+    def undirected_union(cls, **kw) -> "PolygonBuilder":
+        return cls(xor_edges=False, undirected_edges=True, **kw)
 
     def add_edge(self, v0: Point, v1: Point) -> None:
         if v0 == v1:
@@ -93,6 +116,14 @@ class PolygonBuilder:
             self._erase_edge(v1, v0)
             return
         self.edges[v0][v1] += 1
+        if self.undirected_edges:
+            self.edges[v1][v0] += 1
+
+    def add_loop(self, vertices: list[Point], sign: int = 1) -> None:
+        """Add a closed vertex chain; sign=-1 adds reversed edges (holes)."""
+        n = len(vertices)
+        for i in range(n, 0, -1):
+            self.add_edge(vertices[i % n], vertices[(i + sign) % n])
 
     def _erase_edge(self, v0: Point, v1: Point) -> None:
         c = self.edges[v0]
@@ -101,38 +132,76 @@ class PolygonBuilder:
             del c[v1]
         if not c:
             del self.edges[v0]
+        if self.undirected_edges:
+            c = self.edges[v1]
+            c[v0] -= 1
+            if c[v0] <= 0:
+                del c[v0]
+            if not c:
+                del self.edges[v1]
 
     def _merge_vertices(self) -> None:
-        """Cluster vertices within merge_distance; remap edges
-        (S2PolygonBuilder.cs:486-547, simplified greedy clustering)."""
+        """Find connected components of the "within merge_distance" graph
+        via a PointIndex (cell buckets at the level where the search disc
+        fits one cell; probes hit <= 4 vertex-neighbor buckets), pick the
+        component's start vertex as representative, and re-add the affected
+        edges (re-applying XOR), matching S2PolygonBuilder.cs:486-547 +
+        MoveVertices (:434-478)."""
+        from . import cellid as ci
+        from . import metrics
+
         verts = list({v for v0, c in self.edges.items()
                       for v in [v0, *c.keys()]})
-        if not verts:
+        if not verts or self.merge_distance <= 0:
             return
-        rep: dict[Point, Point] = {}
-        arr = np.array(verts)
-        merged = np.zeros(len(verts), dtype=bool)
-        cos_tol = math.cos(self.merge_distance)
-        for i, v in enumerate(verts):
-            if merged[i]:
+        n = len(verts)
+        arr = np.array(verts, dtype=np.float64)
+        level = min(metrics.MIN_WIDTH.get_max_level(2 * self.merge_distance),
+                    ci.MAX_LEVEL - 1)
+        leaves = ci.from_point(arr[:, 0], arr[:, 1], arr[:, 2])
+        cells = ci.parent_for_level(leaves, level)
+        buckets: dict[int, list[int]] = defaultdict(list)
+        for idx, c in enumerate(cells.tolist()):
+            buckets[int(c)].append(idx)
+        nbrs, valid = ci.get_vertex_neighbors(leaves, level)
+        marked = np.zeros(n, dtype=bool)
+        merge_map: dict[Point, Point] = {}
+        for i in range(n):
+            if marked[i]:
                 continue
-            rep[v] = v
-            if self.merge_distance <= 0:
-                continue
-            dots = arr @ np.array(v)
-            close = np.nonzero((dots >= cos_tol) & ~merged)[0]
-            for j in close:
-                if j != i:
-                    rep[verts[j]] = v
-                    merged[j] = True
-            merged[i] = True
-        old = self.edges
-        self.edges = defaultdict(Counter)
-        for v0, c in old.items():
-            for v1, n in c.items():
-                a, b = rep.get(v0, v0), rep.get(v1, v1)
-                for _ in range(n):
-                    self.add_edge(a, b)  # re-applies xor + drops degenerates
+            marked[i] = True
+            vstart = verts[i]
+            frontier = [i]
+            while frontier:
+                j = frontier.pop()
+                vj = arr[j]
+                for cell in nbrs[j][valid[j]].tolist():
+                    for k in buckets.get(int(cell), ()):
+                        if marked[k]:
+                            continue
+                        d = float(sphere.angle(
+                            np.float64(vj[0]), np.float64(vj[1]), np.float64(vj[2]),
+                            np.float64(arr[k][0]), np.float64(arr[k][1]),
+                            np.float64(arr[k][2])))
+                        if d <= self.merge_distance:
+                            marked[k] = True
+                            frontier.append(k)
+                            merge_map[verts[k]] = vstart
+        self._move_vertices(merge_map)
+
+    def _move_vertices(self, merge_map: dict[Point, Point]) -> None:
+        if not merge_map:
+            return
+        moved: list[tuple[Point, Point]] = []
+        for v0, c in self.edges.items():
+            for v1, cnt in c.items():
+                if v0 in merge_map or v1 in merge_map:
+                    # only one copy of each undirected edge
+                    if not self.undirected_edges or v0 < v1:
+                        moved.extend([(v0, v1)] * cnt)
+        for v0, v1 in moved:
+            self._erase_edge(v0, v1)
+            self.add_edge(merge_map.get(v0, v0), merge_map.get(v1, v1))
 
     def _assemble_loop(self, v0: Point, v1: Point, unused: list) -> Loop | None:
         """Leftmost-turn tracing (S2PolygonBuilder.cs:339-410)."""
@@ -156,6 +225,14 @@ class PolygonBuilder:
                 path.append(v2)
             else:
                 path = path[index[v2]:]
+                if self.validate and not _is_valid_loop(path):
+                    # self-crossing loop: bad input — reject the whole loop
+                    # (S2PolygonBuilder.cs:393-401 RejectLoop)
+                    n = len(path)
+                    for i in range(n):
+                        unused.append((path[i], path[(i + 1) % n]))
+                        self._erase_edge(path[i], path[(i + 1) % n])
+                    return None
                 return Loop(np.array(path))
         return None
 
@@ -175,20 +252,92 @@ class PolygonBuilder:
             loop = self._assemble_loop(v0, v1, unused)
             if loop is None:
                 continue
+            # Undirected edges may have assembled a CW loop while aiming for
+            # CCW: reassemble from an edge of the reverse direction — each
+            # retry is interior to the previous, so it terminates
+            # (S2PolygonBuilder.cs:193-201).
+            while (loop is not None and self.undirected_edges
+                   and not loop.is_normalized):
+                loop = self._assemble_loop(loop.vertex(1), loop.vertex(0),
+                                           unused)
+            if loop is None:
+                continue
             loops.append(loop)
             self._erase_loop(loop)
         return loops, unused
 
-    def assemble_polygon(self) -> Polygon:
+    def assemble_polygon_with_unused(self) -> tuple[Polygon, list]:
+        """AssemblePolygon (S2PolygonBuilder.cs:211-252): normalize loops
+        (already CCW for undirected input), validate, init nesting."""
         loops, unused = self.assemble_loops()
-        loops = [lp.normalized() for lp in loops]
+        if not self.undirected_edges:
+            loops = [lp.normalized() for lp in loops]
+        if self.validate and not _is_valid_polygon(loops):
+            for lp in loops:
+                n = lp.num_vertices
+                unused.extend((lp.vertex(i), lp.vertex((i + 1) % n))
+                              for i in range(n))
+            return Polygon([]), unused
         # nesting depth by containment counting (non-crossing outputs)
         final = []
         for i, lp in enumerate(loops):
             depth = sum(1 for j, other in enumerate(loops)
                         if i != j and other.contains_loop(lp))
             final.append(Loop(lp.vertices, depth=depth))
-        return Polygon(final)
+        return Polygon(final), unused
+
+    def assemble_polygon(self) -> Polygon:
+        return self.assemble_polygon_with_unused()[0]
+
+
+def _is_valid_loop(path: list[Point]) -> bool:
+    """S2Loop.IsValid (S2Loop.cs:202-280): >= 3 distinct vertices, no
+    duplicates, no proper crossing between non-adjacent edges."""
+    n = len(path)
+    if n < 3 or len(set(path)) != n:
+        return False
+    pairs_a = []
+    pairs_b = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            # skip edges sharing a vertex (adjacent incl. wraparound)
+            if j == i + 1 or (i == 0 and j == n - 1):
+                continue
+            pairs_a.append(i)
+            pairs_b.append(j)
+    if not pairs_a:
+        return True
+    v = np.array(path, dtype=np.float64)
+    a0 = v[pairs_a]
+    a1 = v[[(i + 1) % n for i in pairs_a]]
+    b0 = v[pairs_b]
+    b1 = v[[(j + 1) % n for j in pairs_b]]
+    rc = robust_crossing_batch(
+        a0[:, 0], a0[:, 1], a0[:, 2], a1[:, 0], a1[:, 1], a1[:, 2],
+        b0[:, 0], b0[:, 1], b0[:, 2], b1[:, 0], b1[:, 1], b1[:, 2])
+    return not bool(np.any(rc > 0))
+
+
+def _is_valid_polygon(loops: list[Loop]) -> bool:
+    """S2Polygon.IsValidPolygon (S2Polygon.cs:347-395): no shared undirected
+    edges across loops, every loop normalized, no two loops cross."""
+    if len(loops) > 1:
+        seen: set[tuple[Point, Point]] = set()
+        for lp in loops:
+            n = lp.num_vertices
+            for i in range(n):
+                a, b = lp.vertex(i), lp.vertex((i + 1) % n)
+                key = (a, b) if a < b else (b, a)
+                if key in seen:
+                    return False
+                seen.add(key)
+    for i, lp in enumerate(loops):
+        if not lp.is_normalized:
+            return False
+        for other in loops[i + 1:]:
+            if lp.contains_or_crosses(other) < 0:
+                return False
+    return True
 
 
 def _clip_boundary(a: Polygon, reverse_a: bool, b: Polygon, reverse_b: bool,
