@@ -46,62 +46,102 @@ def _st_to_ij(s: Column) -> Column:
                    F.bround(F.lit(float(m)) * s + (m - 0.5)).cast("long")))
 
 
-def with_cell_id(df, lat_col: str, lng_col: str, out: str = "cell_id"):
+_LUT_SQL = "array(" + ",".join(str(v) for v in _LUT) + ")"
+_ENCODE_SQL_CACHE: dict[tuple, str] = {}
+
+
+def _encode_sql(lat_col: str, lng_col: str, out: str, keep_xyz: bool) -> str:
+    """Full Hilbert-encode as ONE SQL query over a `{src}` placeholder.
+
+    Semantics identical to the previous per-round withColumns chain (same
+    expressions, same evaluation order — verified bit-identical), but the
+    whole encode is a single spark.sql() call: one eager analysis instead of
+    ~25 incremental ones, cutting ~1s of per-query driver fixed cost that
+    doesn't parallelize (it was the measured scaling-efficiency tail).  The
+    per-round CTEs keep the projection barriers that prevent Catalyst's
+    3^8 expression-tree blowup; whole-stage codegen fuses them at runtime.
+    """
+    key = (lat_col, lng_col, out, keep_xyz)
+    if key in _ENCODE_SQL_CACHE:
+        return _ENCODE_SQL_CACHE[key]
+    P = "__s2tmp_"
+    lat = f"CAST(`{lat_col}` AS DOUBLE)"
+    lng = f"CAST(`{lng_col}` AS DOUBLE)"
+    ctes = [
+        f"{P}s0 AS (SELECT *, cos(radians({lng}))*cos(radians({lat})) AS {P}x, "
+        f"sin(radians({lng}))*cos(radians({lat})) AS {P}y, "
+        f"sin(radians({lat})) AS {P}z FROM {{src}})"]
+    face = (f"CASE WHEN abs({P}x) > abs({P}y) AND abs({P}x) > abs({P}z) "
+            f"THEN (CASE WHEN {P}x < 0 THEN 3 ELSE 0 END) "
+            f"WHEN abs({P}y) > abs({P}z) THEN (CASE WHEN {P}y < 0 THEN 4 ELSE 1 END) "
+            f"ELSE (CASE WHEN {P}z < 0 THEN 5 ELSE 2 END) END")
+    ctes.append(f"{P}s1 AS (SELECT *, {face} AS {P}face FROM {P}s0)")
+    u = (f"CASE {P}face WHEN 0 THEN {P}y/{P}x WHEN 1 THEN -{P}x/{P}y "
+         f"WHEN 2 THEN -{P}x/{P}z WHEN 3 THEN {P}z/{P}x WHEN 4 THEN {P}z/{P}y "
+         f"ELSE -{P}y/{P}z END")
+    v = (f"CASE {P}face WHEN 0 THEN {P}z/{P}x WHEN 1 THEN {P}z/{P}y "
+         f"WHEN 2 THEN -{P}y/{P}z WHEN 3 THEN {P}y/{P}x WHEN 4 THEN -{P}x/{P}y "
+         f"ELSE -{P}x/{P}z END")
+
+    def uv_to_st(e: str) -> str:
+        return (f"(CASE WHEN ({e}) >= 0 THEN sqrt(1 + 3*({e})) - 1 "
+                f"ELSE 1 - sqrt(1 - 3*({e})) END)")
+
+    m = MAX_SIZE // 2
+
+    def st_to_ij(e: str) -> str:
+        return (f"least(CAST({2 * m - 1} AS BIGINT), greatest(CAST(0 AS BIGINT), "
+                f"CAST(bround({float(m)!r}D * {e} + {m - 0.5!r}D) AS BIGINT)))")
+
+    ctes.append(
+        f"{P}s2 AS (SELECT *, {st_to_ij(uv_to_st(P + 'u'))} AS {P}i, "
+        f"{st_to_ij(uv_to_st(P + 'v'))} AS {P}j FROM "
+        f"(SELECT *, {u} AS {P}u, {v} AS {P}v FROM {P}s1))")
+    ctes.append(
+        f"{P}s3 AS (SELECT *, CAST({P}face AS BIGINT) & 1 AS {P}bits, "
+        f"shiftleft(CAST({P}face AS BIGINT), 60) AS {P}n FROM {P}s2)")
+    prev = f"{P}s3"
+    for idx, k in enumerate(range(7, -1, -1)):
+        bits_in = (f"({P}bits + shiftleft(shiftright({P}i, {4 * k}) & 15, 6) "
+                   f"+ shiftleft(shiftright({P}j, {4 * k}) & 15, 2))")
+        ctes.append(
+            f"{P}l{idx} AS (SELECT *, CAST(element_at({_LUT_SQL}, "
+            f"CAST({bits_in} + 1 AS INT)) AS BIGINT) AS {P}lut{idx} FROM {prev})")
+        ctes.append(
+            f"{P}r{idx} AS (SELECT * EXCEPT({P}n, {P}bits, {P}lut{idx}), "
+            f"{P}n | shiftleft(shiftright({P}lut{idx}, 2), {8 * k}) AS {P}n, "
+            f"{P}lut{idx} & 3 AS {P}bits FROM {P}l{idx})")
+        prev = f"{P}r{idx}"
+    keep = (f", {P}x AS x, {P}y AS y, {P}z AS z" if keep_xyz else "")
+    final = (f"SELECT * EXCEPT({P}x, {P}y, {P}z, {P}face, {P}u, {P}v, "
+             f"{P}i, {P}j, {P}n, {P}bits), "
+             f"({P}n - CAST({1 << 62} AS BIGINT)) * 2 + 1 AS `{out}`{keep} "
+             f"FROM {prev}")
+    sql = "WITH " + ",\n".join(ctes) + "\n" + final
+    _ENCODE_SQL_CACHE[key] = sql
+    return sql
+
+
+def with_cell_id(df, lat_col: str, lng_col: str, out: str = "cell_id",
+                 keep_xyz: bool = False):
     """Append the leaf S2 cell id (biased signed long) of (lat,lng) degree
-    columns — entirely as JVM Column expressions.
+    columns — entirely as JVM expressions (whole-stage codegen, no Python).
 
     The encode chain lat/lng -> xyz -> (face,u,v) -> (s,t) -> (i,j) ->
     Hilbert position runs as 8 unrolled LUT rounds with ``element_at`` on a
-    1024-int literal array.  Each round is materialized as its own projected
-    column: Catalyst Column objects are *trees*, so threading one Column
-    through 8 rounds would duplicate subtrees ~3x per round (3^8 blowup);
-    per-round projections keep every expression small while whole-stage
-    codegen still fuses the projections into one pass.
+    1024-int literal array, one projection barrier per round (Catalyst
+    expression trees would otherwise blow up 3x per round).  Built as a
+    single spark.sql call for one-shot analysis (see _encode_sql).
+
+    keep_xyz=True also exposes the unit-vector x/y/z columns computed inside
+    the encode (the exact-refine kernels need them) without recomputation.
 
     Returns the DataFrame with `out` appended and no temp columns.
     """
-    P = "__s2tmp_"
-    lat = F.col(lat_col).cast("double")
-    lng = F.col(lng_col).cast("double")
-    phi = F.radians(lat)
-    theta = F.radians(lng)
-    df = df.withColumns({
-        P + "x": F.cos(theta) * F.cos(phi),
-        P + "y": F.sin(theta) * F.cos(phi),
-        P + "z": F.sin(phi),
-    })
-    x, y, z = F.col(P + "x"), F.col(P + "y"), F.col(P + "z")
-    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
-    axis = (F.when((ax > ay) & (ax > az), F.lit(0))
-            .when(ay > az, F.lit(1)).otherwise(F.lit(2)))
-    comp = F.when(axis == 0, x).when(axis == 1, y).otherwise(z)
-    df = df.withColumn(P + "face", F.when(comp < 0, axis + 3).otherwise(axis))
-    face = F.col(P + "face")
-    u = (F.when(face == 0, y / x).when(face == 1, -x / y).when(face == 2, -x / z)
-         .when(face == 3, z / x).when(face == 4, z / y).otherwise(-y / z))
-    v = (F.when(face == 0, z / x).when(face == 1, z / y).when(face == 2, -y / z)
-         .when(face == 3, y / x).when(face == 4, -x / y).otherwise(-x / z))
-    df = df.withColumns({
-        P + "i": _st_to_ij(_uv_to_st(u)),
-        P + "j": _st_to_ij(_uv_to_st(v)),
-        P + "bits": face.cast("long").bitwiseAND(F.lit(1).cast("long")),
-        P + "n": F.shiftleft(face.cast("long"), 60),
-    })
-    i, j = F.col(P + "i"), F.col(P + "j")
-    lut = F.lit(_LUT)
-    for k in range(7, -1, -1):
-        bits_in = (F.col(P + "bits")
-                   + F.shiftleft(F.shiftrightunsigned(i, 4 * k).bitwiseAND(F.lit(15).cast("long")), 6)
-                   + F.shiftleft(F.shiftrightunsigned(j, 4 * k).bitwiseAND(F.lit(15).cast("long")), 2))
-        df = df.withColumn(P + "lut", F.element_at(lut, (bits_in + 1).cast("int")).cast("long"))
-        lv = F.col(P + "lut")
-        df = df.withColumns({
-            P + "n": F.col(P + "n").bitwiseOR(F.shiftleft(F.shiftrightunsigned(lv, 2), 8 * k)),
-            P + "bits": lv.bitwiseAND(F.lit(3).cast("long")),
-        })
-    # biased = raw - 2^63 = (n - 2^62)*2 + 1, computed without signed overflow
-    df = df.withColumn(out, (F.col(P + "n") - F.lit(1 << 62).cast("long")) * 2 + 1)
-    return df.drop(*[c for c in df.columns if c.startswith(P)])
+    if out in df.columns:
+        df = df.drop(out)
+    return df.sparkSession.sql(_encode_sql(lat_col, lng_col, out, keep_xyz),
+                               src=df)
 
 
 def lowest_on_bit(cell_id: Column) -> Column:

@@ -211,9 +211,7 @@ def points_with_cells(pages_geo: DataFrame, lat_col: str = "lat",
                       lng_col: str = "lng") -> DataFrame:
     """Attach leaf cell_id (JVM expression) + unit-vector columns (needed by
     the exact refine kernel) to a mined geo table."""
-    df = C.with_cell_id(pages_geo, lat_col, lng_col, out="cell_id")
-    phi = F.radians(F.col(lat_col).cast("double"))
-    theta = F.radians(F.col(lng_col).cast("double"))
-    return (df.withColumn("x", F.cos(theta) * F.cos(phi))
-              .withColumn("y", F.sin(theta) * F.cos(phi))
-              .withColumn("z", F.sin(phi)))
+    # keep_xyz reuses the unit vectors computed inside the encode — same
+    # expressions (bit-identical), no recomputation, no extra plan nodes
+    return C.with_cell_id(pages_geo, lat_col, lng_col, out="cell_id",
+                          keep_xyz=True)

@@ -78,6 +78,57 @@ def test_torn_manifest_line_resumes(spark, tmp_path):
     assert stages[-1] == "tiles"
 
 
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState gap-sessionizer == the batch window-function
+    sessionization on the same rows (latest update per user)."""
+    import pandas as pd
+
+    from s2spark.streaming.session_stream import streaming_sessionize
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                  "event_id"))
+    src_dir = str(tmp_path / "sess_src")
+    ev.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    stream = (spark.readStream.schema(ev.schema).parquet(src_dir))
+    out = streaming_sessionize(stream)
+    q = (out.writeStream.format("memory").queryName("sess_out")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.sql("SELECT * FROM sess_out").toPandas()
+           .drop_duplicates("user_id", keep="last")
+           .sort_values("user_id").reset_index(drop=True))
+    # batch reference: same semantics as the events_sessionization query
+    batch = _batch_sessions(ev.toPandas())
+    assert got["user_id"].tolist() == batch["user_id"].tolist()
+    assert got["n_sessions"].tolist() == batch["n_sessions"].tolist()
+    assert got["max_session_events"].tolist() == batch["max_session_events"].tolist()
+
+
+def _batch_sessions(pdf):
+    import pandas as pd
+    rows = []
+    for uid, g in pdf.groupby("user_id"):
+        ts = sorted(g["ts"].astype("int64") // 1000)
+        sessions = []
+        cur = 0
+        last = None
+        for t in ts:
+            if last is not None and t - last <= 1800 * 1_000_000:
+                cur += 1
+            else:
+                if cur:
+                    sessions.append(cur)
+                cur = 1
+            last = t
+        if cur:
+            sessions.append(cur)
+        rows.append((uid, len(sessions), max(sessions)))
+    return (pd.DataFrame(rows, columns=["user_id", "n_sessions",
+                                        "max_session_events"])
+            .sort_values("user_id").reset_index(drop=True))
+
+
 def test_streaming_tile_counts(spark, tmp_path):
     """Drive the streaming tile aggregation on a bounded micro-batch and
     check it matches the batch tile counts for the same rows."""
