@@ -387,6 +387,14 @@ def _q_sim_lsh(spark, sf_dir):
     return similarity.lsh_topk(emb, queries_df, k=5, dim=64, bits=10)
 
 
+def _q_sim_ivf(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ivf_topk(emb, queries_df, k=5,
+                               centroid_stride=31, nprobe=4)
+
+
 def _q_near_dup(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     return similarity.cosine_near_dup_pairs(emb, threshold=0.2, dim=64, bits=10)
@@ -471,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_stats": _q_doc_stats,
         "similarity_bruteforce_topk": _q_sim_bruteforce,
         "similarity_lsh_topk": _q_sim_lsh,
+        "similarity_ivf_topk": _q_sim_ivf,
         "embedding_stats": _q_embedding_stats,
         "relational_revenue_by_nation": _q_revenue,
         "events_daily_agg": _q_events_daily,
@@ -587,6 +596,33 @@ scored AS (SELECT c.query_id, c.vec_id,
            FROM cand c
            JOIN d dd ON dd.vec_id = c.vec_id
            JOIN d qd ON qd.vec_id = c.query_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM scored)
+SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _ivf_topk_oracle_sql(k: int = 5, stride: int = 31, nprobe: int = 4) -> str:
+    def cos(a, b):
+        return (f"round(list_dot_product({a}, {b}) / "
+                f"(sqrt(list_dot_product({a}, {a})) * "
+                f"sqrt(list_dot_product({b}, {b}))), 4)")
+    return f"""
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS cv FROM d WHERE vec_id % {stride} = 0),
+asg AS (SELECT vec_id, v, centroid_id FROM (
+    SELECT d.vec_id, d.v, c.centroid_id,
+           row_number() OVER (PARTITION BY d.vec_id
+               ORDER BY {cos('d.v', 'c.cv')} DESC, c.centroid_id ASC) AS rn
+    FROM d, cent c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id < 8),
+probes AS (SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {cos('q.qv', 'c.cv')} DESC, c.centroid_id ASC) AS rn
+    FROM q, cent c) WHERE rn <= {nprobe}),
+scored AS (SELECT p.query_id, a.vec_id, {cos('p.qv', 'a.v')} AS cos_sim
+           FROM probes p JOIN asg a USING (centroid_id)),
 ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
            ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM scored)
 SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= {k}
@@ -798,6 +834,7 @@ FROM per_session GROUP BY user_id
         "dedup_lsh_pairs": _lsh_pairs_oracle_sql(),
         "multimodal_features": _multimodal_oracle_sql(),
         "similarity_lsh_topk": _lsh_topk_oracle_sql(),
+        "similarity_ivf_topk": _ivf_topk_oracle_sql(),
         "similarity_near_dup_pairs": _near_dup_oracle_sql(),
         "text_quality": _quality_oracle_sql(),
         "text_langid": _langid_oracle_sql(),

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "dedup_lsh_pairs", "multimodal_features",
     "text_quality", "text_langid", "text_fingerprint",
     "similarity_bruteforce_topk", "similarity_lsh_topk",
+    "similarity_ivf_topk",
     "similarity_near_dup_pairs",
     "relational_revenue_by_nation", "events_daily_agg",
     "events_sessionization",

@@ -122,3 +122,65 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
             .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
             .where(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b", "cos_sim").distinct())
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
+             centroid_stride: int = 31, nprobe: int = 4,
+             vec_col: str = "embedding", key_col: str = "vec_id",
+             query_key: str = "query_id") -> DataFrame:
+    """IVF-flat approximate top-k: the partition-pruned ANN scale path.
+
+    Coarse quantizer: every `centroid_stride`-th vector (by key) is a
+    centroid — a deterministic seeding (no Lloyd iterations) so the index
+    is a pure function of the data and reproducible in the SQL oracle.
+    With stride ~ sqrt(N) this is the classic IVF shape: ~sqrt(N)
+    centroids, ~sqrt(N) vectors per inverted list.
+
+    Execution shape at 100 TB:
+      * centroids are tiny (sqrt of the data) -> BROADCAST to assign every
+        vector to its nearest centroid in one map-side pass, no shuffle;
+      * the data shuffles ONCE on centroid_id (building the inverted
+        lists — in a persisted index this is the write-time layout, cf.
+        sources.bucketed bucketing by tile);
+      * each query probes its `nprobe` closest centroids -> candidates
+        arrive through an equi-join on centroid_id, never a cross join:
+        the scan is pruned to nprobe/num_centroids of the data.
+
+    Similarities are rounded to 4 dp before ranking (ties broken by key)
+    so ranks are stable across FP summation orders — same contract as
+    lsh_topk / brute_force_topk.
+
+    Output: (query_id, vec_id, cos_sim, rank) — schema-identical to
+    brute_force_topk so callers can swap exact for approximate.
+    """
+    d = embeddings.select(F.col(key_col), as_double_array(F.col(vec_col)).alias("v"))
+    cent = (d.where(F.col(key_col) % centroid_stride == 0)
+            .select(F.col(key_col).alias("centroid_id"), F.col("v").alias("cv")))
+
+    # map-side assignment: argmax rounded-cosine over broadcast centroids
+    sim = F.round(cosine(F.col("v"), F.col("cv")), 4)
+    aw = Window.partitionBy(key_col).orderBy(F.desc("sim"), F.col("centroid_id"))
+    assigned = (d.crossJoin(F.broadcast(cent))
+                .withColumn("sim", sim)
+                .withColumn("rn", F.row_number().over(aw))
+                .where(F.col("rn") == 1)
+                .select(key_col, "v", "centroid_id"))
+
+    # query side: nprobe nearest centroids each (same broadcast, tiny)
+    q = queries.select(F.col(query_key), as_double_array(F.col(vec_col)).alias("qv"))
+    qsim = F.round(cosine(F.col("qv"), F.col("cv")), 4)
+    qw = Window.partitionBy(query_key).orderBy(F.desc("qsim"), F.col("centroid_id"))
+    probes = (q.crossJoin(F.broadcast(cent))
+              .withColumn("qsim", qsim)
+              .withColumn("rn", F.row_number().over(qw))
+              .where(F.col("rn") <= nprobe)
+              .select(query_key, "qv", "centroid_id"))
+
+    # candidate generation: equi-join on centroid_id (inverted-list probe)
+    cand = assigned.join(F.broadcast(probes), "centroid_id")
+    scored = cand.withColumn(
+        "cos_sim", F.round(cosine(F.col("qv"), F.col("v")), 4))
+    w = Window.partitionBy(query_key).orderBy(F.desc("cos_sim"), F.col(key_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_key, key_col, "cos_sim", "rank"))
