@@ -1,0 +1,43 @@
+"""Streaming point-in-polygon == batch spatial join on the same rows."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from s2spark.operators.spatial_join import points_with_cells, spatial_join
+from s2spark.sources.fixtures import make_polygon
+from s2spark.sources.pages import mine_coordinates, synthesize_pages
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from s2spark.plans.session import build_session
+    s = build_session(app_name="s2spark-spatial-stream", master="local[4]",
+                      shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def test_streaming_pip_matches_batch(spark, tmp_path):
+    from s2spark.streaming.spatial_stream import streaming_point_in_polygon
+
+    polygons = {1: make_polygon("-4:-4, -4:4, 4:4, 4:-4;"),
+                2: make_polygon("48.5:2.0, 48.5:2.7, 49.2:2.7, 49.2:2.0;")}
+    pages = synthesize_pages(spark, 5000).select("url", "text")
+    src_dir = str(tmp_path / "pages_src")
+    pages.coalesce(2).write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(pages.schema).parquet(src_dir)
+    out = streaming_point_in_polygon(spark, stream, polygons)
+    q = (out.writeStream.format("memory").queryName("pip_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["url"], r["polygon_id"])
+           for r in spark.sql("SELECT url, polygon_id FROM pip_out").collect()}
+
+    batch = spatial_join(
+        spark, points_with_cells(mine_coordinates(pages)), polygons)
+    expect = {(r["url"], r["polygon_id"])
+              for r in batch.select("url", "polygon_id").collect()}
+    assert got == expect
+    assert len(expect) > 0
