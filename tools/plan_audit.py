@@ -1,0 +1,75 @@
+"""Plan audit: explain('formatted') every driver query and flag anti-patterns.
+
+Checks per query:
+  * row-at-a-time Python (BatchEvalPython) anywhere           -> FLAG
+  * CartesianProduct / BroadcastNestedLoopJoin                -> FLAG
+    (allowed only where the operator is an intended exact baseline or a
+     broadcast of a tiny literal side — listed in ALLOW_NESTED)
+  * parquet scans reading all columns when the query projects few
+    (ReadSchema with > MAX_SCAN_COLS fields)                   -> FLAG
+  * number of Exchanges (shuffles) reported per query
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+# intended nested-loop / cross joins: exact brute-force baselines and
+# broadcast-literal probes
+ALLOW_NESTED = {
+    "similarity_bruteforce_topk",   # the documented exact baseline
+    "similarity_ivf_topk",          # crossJoin(broadcast(sqrt(N) centroids))
+    "s2_rect_distance",             # 3 literal query rects
+    "s2_cap_query",                 # 3 literal query caps
+    "s2_rect_query",                # 3 literal query rects
+    "s2_polyline_project",          # 1 literal polyline
+    "s2_polyline_length",           # 1 literal polyline
+}
+MAX_SCAN_COLS = 6
+
+
+def audit(sf_dir: str, names=None) -> int:
+    from s2spark.plans.session import build_session
+    import __spark_entry__ as entry
+
+    spark = build_session(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    bad = 0
+    for name, fn in qs.items():
+        if names and name not in names:
+            continue
+        df = fn(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        flags = []
+        if "BatchEvalPython" in plan:
+            flags.append("row-Python UDF (BatchEvalPython)")
+        nested = ("CartesianProduct" in plan
+                  or "BroadcastNestedLoopJoin" in plan)
+        if nested and name not in ALLOW_NESTED:
+            flags.append("unintended nested-loop join")
+        n_exchange = plan.count("Exchange")
+        wide_scans = [m for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+                      if m.count(",") + 1 > MAX_SCAN_COLS]
+        if wide_scans:
+            flags.append(f"wide scan ({wide_scans[0].count(',') + 1} cols)")
+        arrow = plan.count("ArrowEvalPython") + plan.count("FlatMapGroupsInPandas") \
+            + plan.count("MapInPandas") + plan.count("FlatMapCoGroupsInPandas")
+        status = "FLAG" if flags else "ok"
+        if flags:
+            bad += 1
+        print(f"{status:5} {name}: exchanges={n_exchange} arrow_stages={arrow}"
+              + (f"  [{'; '.join(flags)}]" if flags else ""))
+    spark.stop()
+    return bad
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sys.exit(1 if audit(sf, set(sys.argv[2:]) or None) else 0)
