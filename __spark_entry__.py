@@ -373,6 +373,10 @@ def _q_doc_stats(spark, sf_dir):
     return textstats.doc_stats(_read(spark, sf_dir, "documents"))
 
 
+def _q_token_count(spark, sf_dir):
+    return textstats.token_counts(_read(spark, sf_dir, "documents"))
+
+
 def _q_sim_bruteforce(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 8).select(
@@ -477,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_langid,
         "text_fingerprint": _q_fingerprint,
         "text_doc_stats": _q_doc_stats,
+        "text_token_count": _q_token_count,
         "similarity_bruteforce_topk": _q_sim_bruteforce,
         "similarity_lsh_topk": _q_sim_lsh,
         "similarity_ivf_topk": _q_sim_ivf,
@@ -843,6 +848,16 @@ FROM per_session GROUP BY user_id
             "THEN h::HUGEINT - 18446744073709551616::HUGEINT ELSE h::HUGEINT END AS BIGINT) AS fingerprint "
             f"FROM (SELECT doc_id, ('0x' || substr(md5({_NORM_SQL}), 1, 16))::UBIGINT AS h "
             "FROM documents)"),
+        "text_token_count": f"""
+WITH c AS (SELECT doc_id, text,
+    len(regexp_extract_all(text, '{textstats.BPE_TOKEN_PATTERN.replace(chr(39), chr(39) * 2)}')) AS n_bpe
+    FROM documents)
+SELECT doc_id,
+    len(string_split({_NORM_SQL}, ' ')) AS n_ws_tokens,
+    n_bpe AS n_bpe_tokens,
+    round(strlen(text)::DOUBLE / greatest(n_bpe, 1)::DOUBLE, 6) AS bytes_per_token
+FROM c
+""",
         "text_doc_stats": f"""
 WITH base AS (SELECT doc_id, lang, text, {_NORM_SQL} AS norm FROM documents),
 feat AS (SELECT doc_id, lang,

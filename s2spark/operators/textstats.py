@@ -29,6 +29,38 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pre-tokenizer approximation: contraction suffixes, space-
+# prefixed letter runs, digit runs, punctuation runs, residual whitespace.
+# RE2-compatible (no lookarounds) so the SAME pattern runs in the DuckDB
+# oracle; verified token-for-token identical across Spark and DuckDB
+# including unicode text.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish pre-tokenization (JVM regex, one pass, no Python)."""
+    return F.regexp_extract_all(col, F.lit(BPE_TOKEN_PATTERN), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(BPE_TOKEN_PATTERN))
+
+
+def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token accounting for training-data budgeting:
+    whitespace tokens, BPE-ish tokens, and bytes-per-BPE-token (the
+    compression-rate proxy used for corpus mixing)."""
+    t = F.col(text_col)
+    n_bpe = bpe_token_count(t)
+    return documents.select(
+        "doc_id",
+        token_count(t).alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(F.octet_length(t).cast("double")
+                / F.greatest(n_bpe, F.lit(1)).cast("double"), 6)
+        .alias("bytes_per_token"))
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality features (pure exprs)."""
     t = F.col(text_col)
