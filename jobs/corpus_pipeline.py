@@ -1,0 +1,120 @@
+"""Resumable training-corpus cleaning pipeline (spark-submit entry point).
+
+    spark-submit --py-files s2spark.zip jobs/corpus_pipeline.py \
+        --sf-dir /root/testdata/sf0.1 --workdir /data/corpus_run1
+
+The document-side counterpart of jobs/spatial_pipeline.py: the standard
+LLM training-data preparation flow, every stage a pure DataFrame plan,
+snapshot-checkpointed so a restarted job replays completed stages, and
+audited with per-partition lineage rows.
+
+  1. features   documents -> quality features + predicted language +
+                BPE-ish token counts                      [pure Column exprs]
+  2. filter     quality gate (length / alpha-ratio / stopword floor)
+  3. exact      drop exact duplicates (digest groupBy, first doc_id wins)
+  4. neardup    MinHash-LSH candidate pairs -> connected survivors dropped
+                (smallest doc_id per duplicate component is kept)
+  5. corpus     final clean corpus + per-language token budget report
+
+At 100 TB every stage is shuffle-bounded: features/filter are map-only,
+exact dedup shuffles once on the digest, near-dup shuffles on LSH band
+buckets (never all-pairs), and the final report is a small agg.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from s2spark.operators import dedup, textstats  # noqa: E402
+from s2spark.plans.audit import append_audit, partition_metrics  # noqa: E402
+from s2spark.plans.checkpoint import SnapshotStore  # noqa: E402
+
+
+def run(spark, sf_dir: str, workdir: str,
+        min_tokens: int = 5, min_alpha_ratio: float = 0.5) -> dict:
+    store = SnapshotStore(os.path.join(workdir, "snapshots"))
+    audit_dir = os.path.join(workdir, "audit")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def stage_features():
+        df = textstats.quality_features(docs)
+        df = textstats.lang_id(df)
+        df = df.join(textstats.token_counts(docs), "doc_id")
+        append_audit(partition_metrics(df, "features"), audit_dir)
+        return df
+
+    feats = store.resume_or_compute(spark, "features", stage_features)
+
+    def stage_filter():
+        df = feats.where((F.col("n_bpe_tokens") >= min_tokens)
+                         & (F.col("alpha_ratio") >= min_alpha_ratio))
+        append_audit(partition_metrics(df, "filter"), audit_dir)
+        return df
+
+    kept = store.resume_or_compute(spark, "filter", stage_filter)
+
+    def stage_exact():
+        keepers = dedup.exact_dedup(kept).select(
+            F.col("keep_id").alias("doc_id"))
+        df = kept.join(keepers, "doc_id", "left_semi")
+        append_audit(partition_metrics(df, "exact"), audit_dir)
+        return df
+
+    uniq = store.resume_or_compute(spark, "exact", stage_exact)
+
+    def stage_neardup():
+        # LSH bounds candidate generation; exact Jaccard verification on
+        # candidates only prevents template-collision false drops.
+        pairs = dedup.verified_near_dup_pairs(uniq, threshold=0.8)
+        # duplicate components without iterative connected-components:
+        # verified pair (a < b) -> drop b, keep the smallest id of each
+        # cluster (star-shaped CC approximation; an iterative CC pass is
+        # the escalation path at high dup density).
+        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        df = uniq.join(losers, "doc_id", "left_anti")
+        append_audit(partition_metrics(df, "neardup"), audit_dir)
+        return df
+
+    clean = store.resume_or_compute(spark, "neardup", stage_neardup)
+
+    def stage_corpus():
+        return (clean.groupBy("lang_pred")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_bpe_tokens").alias("n_tokens"),
+                     F.round(F.avg("bytes_per_token"), 4).alias("avg_bpt")))
+
+    report = store.resume_or_compute(spark, "corpus", stage_corpus)
+
+    return {
+        "input": docs.count(),
+        "kept": kept.count(),
+        "unique": uniq.count(),
+        "clean": clean.count(),
+        "langs": report.count(),
+        "audit_rows": spark.read.parquet(audit_dir).count(),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from s2spark.plans.session import build_session
+    spark = build_session(app_name="s2spark-corpus", master=args.master)
+    spark.sparkContext.setLogLevel("WARN")
+    print(run(spark, args.sf_dir, args.workdir))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -155,3 +155,33 @@ def ngram_jaccard_pairs(documents: DataFrame, text_col: str = "text",
                 F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6))
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def verified_near_dup_pairs(documents: DataFrame, text_col: str = "text",
+                            key_col: str = "doc_id", n: int = 5,
+                            num_hashes: int = 16, bands: int = 4,
+                            threshold: float = 0.8) -> DataFrame:
+    """MinHash-LSH candidates verified by EXACT n-gram Jaccard — the
+    production near-dup shape: the LSH band join bounds candidate
+    generation (never all-pairs), then the exact similarity is computed
+    ONLY for candidates, so false-positive bucket collisions (template-
+    heavy corpora collide constantly) never cause a false drop.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    """
+    pairs = minhash_candidate_pairs(documents, text_col, key_col, n,
+                                    num_hashes, bands)
+    ex = _exploded_shingles(documents, text_col, key_col, n)
+    sizes = ex.groupBy(key_col).agg(F.count(F.lit(1)).alias("sz"))
+    ea = ex.select(F.col(key_col).alias("id_a"), "shingle")
+    eb = ex.select(F.col(key_col).alias("id_b"), "shingle")
+    inter = (pairs.join(ea, "id_a")                  # shingles of a, per pair
+             .join(eb, ["id_b", "shingle"])          # kept iff also in b
+             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter")))
+    sz_a = sizes.select(F.col(key_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(key_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(F.broadcast(sz_a), "id_a").join(F.broadcast(sz_b), "id_b")
+            .withColumn("jaccard", F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
