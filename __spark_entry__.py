@@ -332,6 +332,12 @@ def _q_jaccard(spark, sf_dir):
                                      n=8, threshold=0.35)
 
 
+def _q_verified_pairs(spark, sf_dir):
+    return dedup.verified_near_dup_pairs(
+        _read(spark, sf_dir, "documents"), n=5, num_hashes=8, bands=4,
+        threshold=0.6)
+
+
 def _q_lsh_pairs(spark, sf_dir):
     """MinHash-LSH candidate pairs: the banded bucket join that replaces
     all-pairs comparison at scale."""
@@ -475,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "dedup_ngram_jaccard": _q_jaccard,
         "dedup_lsh_pairs": _q_lsh_pairs,
+        "dedup_verified_pairs": _q_verified_pairs,
         "multimodal_features": _q_multimodal,
         "similarity_near_dup_pairs": _q_near_dup,
         "text_quality": _q_quality,
@@ -572,6 +579,44 @@ buckets AS ({band_selects})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM buckets a JOIN buckets b USING (band, bucket)
 WHERE a.doc_id < b.doc_id
+"""
+
+
+def _verified_pairs_oracle_sql(num_hashes: int = 8, bands: int = 4,
+                               n: int = 5, threshold: float = 0.6) -> str:
+    params = dedup._minhash_params(num_hashes)
+    m = dedup.MERSENNE
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {m}) AS mh{i}" for i, (a, b) in enumerate(params))
+    rpb = num_hashes // bands
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {bnd} AS band, md5(concat_ws('_', "
+        + ", ".join(f"mh{bnd * rpb + r}::VARCHAR" for r in range(rpb))
+        + ")) AS bucket FROM sig"
+        for bnd in range(bands))
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+sh AS (SELECT doc_id,
+       unnest(list_distinct([substr(t, i, {n}) for i in range(1, greatest(length(t) - {n - 1}, 1) + 1)])) AS s
+       FROM norm),
+hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+buckets AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM buckets a JOIN buckets b USING (band, bucket)
+         WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+          GROUP BY 1, 2)
+SELECT i.id_a, i.id_b,
+       round(i.n_inter / (sa.sz + sb.sz - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE round(i.n_inter / (sa.sz + sb.sz - i.n_inter), 6) >= {threshold}
 """
 
 
@@ -837,6 +882,7 @@ FROM per_session GROUP BY user_id
         "dedup_simhash": _simhash_oracle_sql(16),
         "dedup_ngram_jaccard": _jaccard_oracle_sql(),
         "dedup_lsh_pairs": _lsh_pairs_oracle_sql(),
+        "dedup_verified_pairs": _verified_pairs_oracle_sql(),
         "multimodal_features": _multimodal_oracle_sql(),
         "similarity_lsh_topk": _lsh_topk_oracle_sql(),
         "similarity_ivf_topk": _ivf_topk_oracle_sql(),

@@ -37,7 +37,7 @@ BENCH_QUERIES = [
     "s2_rect_distance", "s2_polyline_project", "s2_buffered_join",
     "s2_polyline_length",
     "dedup_exact", "dedup_minhash_signatures", "dedup_simhash",
-    "dedup_lsh_pairs", "multimodal_features",
+    "dedup_lsh_pairs", "dedup_verified_pairs", "multimodal_features",
     "text_quality", "text_langid", "text_fingerprint", "text_token_count",
     "similarity_bruteforce_topk", "similarity_lsh_topk",
     "similarity_ivf_topk",
