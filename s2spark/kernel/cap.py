@@ -63,6 +63,17 @@ class Cap:
         ax = self.axis
         return Cap((-ax[0], -ax[1], -ax[2]), c_height)
 
+    @property
+    def is_valid(self) -> bool:
+        """S2Cap.cs:96-99: unit axis and height <= 2."""
+        ax, ay, az = self.axis
+        return abs(ax * ax + ay * ay + az * az - 1.0) < 1e-13 and self.height <= 2
+
+    def interior_intersects(self, other: "Cap") -> bool:
+        """S2Cap.cs:336-341: Interior(X) intersects Y iff
+        Complement(Interior(X)) does not contain Y."""
+        return not self.complement().contains_cap(other)
+
     # -- point tests ---------------------------------------------------------
 
     def contains_point(self, x: float, y: float, z: float) -> bool:

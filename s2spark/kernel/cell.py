@@ -95,6 +95,15 @@ class Cell:
         x, y, z = ci.to_point(np.array([self.id], dtype=np.uint64))
         return (float(x[0]), float(y[0]), float(z[0]))
 
+    def cap_bound(self):
+        """S2Cell.cs CapBound: cap at the (u,v) center grown to the 4
+        vertices (import deferred: cap.py imports Cell)."""
+        from .cap import Cap
+        cap = Cap.from_axis_height(self.get_center(), 0.0)
+        for k in range(4):
+            cap = cap.add_point(*self.get_vertex(k))
+        return cap
+
     # -- point containment (S2Cell.cs:444-456) -------------------------------
 
     def contains_point(self, x: float, y: float, z: float) -> bool:
