@@ -79,6 +79,24 @@ class Cell:
         n = math.sqrt(x * x + y * y + z * z)
         return (x / n, y / n, z / n)
 
+    @property
+    def is_leaf(self) -> bool:
+        return self.level == ci.MAX_LEVEL
+
+    def contains_cell(self, other: "Cell") -> bool:
+        """S2Cell Contains(cell) == id-range containment."""
+        return bool(ci.contains(np.array([self.id], dtype=np.uint64),
+                                np.array([other.id], dtype=np.uint64))[0])
+
+    def may_intersect_cell(self, other: "Cell") -> bool:
+        return bool(ci.intersects(np.array([self.id], dtype=np.uint64),
+                                  np.array([other.id], dtype=np.uint64))[0])
+
+    def get_edge(self, k: int) -> tuple[float, float, float]:
+        x, y, z = self.get_edge_raw(k)
+        n = math.sqrt(x * x + y * y + z * z)
+        return (x / n, y / n, z / n)
+
     def get_edge_raw(self, k: int) -> tuple[float, float, float]:
         """Inward-facing edge normal, order S,E,N,W (S2Cell.cs:292-305)."""
         if k == 0:
