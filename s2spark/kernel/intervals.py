@@ -154,6 +154,13 @@ class S1Interval:
         return self.lo - self.hi == 2 * PI
 
     @property
+    def is_valid(self) -> bool:
+        """S1Interval.cs IsValid."""
+        return (abs(self.lo) <= PI and abs(self.hi) <= PI
+                and not (self.lo == -PI and self.hi != PI)
+                and not (self.hi == -PI and self.lo != PI))
+
+    @property
     def is_inverted(self) -> bool:
         return self.lo > self.hi
 
@@ -315,6 +322,18 @@ class LatLngRect:
         return LatLngRect(R1Interval.from_point_pair(lat1, lat2),
                           S1Interval.from_point_pair(lng1, lng2))
 
+    @staticmethod
+    def from_point(lat: float, lng: float) -> "LatLngRect":
+        """S2LatLngRect.cs:285-289."""
+        return LatLngRect(R1Interval(lat, lat), S1Interval(lng, lng))
+
+    @staticmethod
+    def from_center_size(center_lat: float, center_lng: float,
+                         size_lat: float, size_lng: float) -> "LatLngRect":
+        """S2LatLngRect.cs:278-281: FromPoint(center).Expanded(size/2)."""
+        return LatLngRect.from_point(center_lat, center_lng).expanded(
+            size_lat * 0.5, size_lng * 0.5)
+
     @property
     def is_empty(self) -> bool:
         return self.lat.is_empty
@@ -322,6 +341,54 @@ class LatLngRect:
     @property
     def is_full(self) -> bool:
         return (self.lat.lo == -PI / 2 and self.lat.hi == PI / 2 and self.lng.is_full)
+
+    @property
+    def is_valid(self) -> bool:
+        """S2LatLngRect.cs:67-75."""
+        return (abs(self.lat.lo) <= PI / 2 and abs(self.lat.hi) <= PI / 2
+                and self.lng.is_valid and self.lat.is_empty == self.lng.is_empty)
+
+    def get_center(self) -> tuple[float, float]:
+        return (self.lat.center, self.lng.center)
+
+    def get_vertex(self, k: int) -> tuple[float, float]:
+        """CCW order SW, SE, NE, NW (S2LatLngRect.cs:352-365)."""
+        lat = self.lat.lo if k < 2 else self.lat.hi
+        lng = self.lng.lo if k in (0, 3) else self.lng.hi
+        return (lat, lng)
+
+    def interior_contains_latlng(self, lat: float, lng: float) -> bool:
+        return (self.lat.interior_contains(lat)
+                and self.lng.interior_contains(lng))
+
+    def __eq__(self, other) -> bool:
+        return (isinstance(other, LatLngRect)
+                and self.lat.lo == other.lat.lo and self.lat.hi == other.lat.hi
+                and self.lng.lo == other.lng.lo and self.lng.hi == other.lng.hi)
+
+    def __hash__(self):
+        return hash((self.lat.lo, self.lat.hi, self.lng.lo, self.lng.hi))
+
+    def approx_equals(self, other: "LatLngRect", eps: float = 1e-13) -> bool:
+        return (abs(self.lat.lo - other.lat.lo) <= eps
+                and abs(self.lat.hi - other.lat.hi) <= eps
+                and abs(self.lng.lo - other.lng.lo) <= eps
+                and abs(self.lng.hi - other.lng.hi) <= eps)
+
+    def convolve_with_cap(self, angle_rad: float) -> "LatLngRect":
+        """Minkowski sum with a cap: union of vertex-cap rect bounds
+        (S2LatLngRect.cs:724-740)."""
+        from .cap import Cap
+        height = 2 * math.sin(angle_rad / 2) ** 2  # 1 - cos
+        r = self
+        for k in range(4):
+            lat, lng = self.get_vertex(k)
+            x = math.cos(lat) * math.cos(lng)
+            y = math.cos(lat) * math.sin(lng)
+            z = math.sin(lat)
+            vertex_cap = Cap((x, y, z), height)
+            r = r.union(vertex_cap.rect_bound())
+        return r
 
     def contains_latlng(self, lat: float, lng: float) -> bool:
         return self.lat.contains(lat) and self.lng.contains(lng)

@@ -208,11 +208,17 @@ def test_containing_cell_lca(rng):
     got = ci.containing_cell(a, b)
 
     def brute(u, v):
+        # parent-chasing LCA that also accepts non-leaf inputs (the 4-point
+        # fold below feeds intermediate LCAs back in, which can be any
+        # level including the face root): align to the shallower level
+        # first, then walk up together — terminates at the face root.
         if (u >> 61) != (v >> 61):
             return 0xFFFFFFFFFFFFFFFF
         lu, lv = np.array([u], dtype=U), np.array([v], dtype=U)
+        lvl = min(int(ci.level_of(lu)[0]), int(ci.level_of(lv)[0]))
+        lu, lv = ci.parent_for_level(lu, lvl), ci.parent_for_level(lv, lvl)
         while int(lu[0]) != int(lv[0]):
-            lvl = int(ci.level_of(lu)[0]) - 1
+            lvl -= 1
             lu = ci.parent_for_level(lu, lvl)
             lv = ci.parent_for_level(lv, lvl)
         return int(lu[0])
