@@ -334,8 +334,8 @@ def _q_jaccard(spark, sf_dir):
 
 def _q_verified_pairs(spark, sf_dir):
     return dedup.verified_near_dup_pairs(
-        _read(spark, sf_dir, "documents"), n=5, num_hashes=8, bands=4,
-        threshold=0.6)
+        _read(spark, sf_dir, "documents"), n=5, num_hashes=16, bands=4,
+        threshold=0.8)
 
 
 def _q_lsh_pairs(spark, sf_dir):
@@ -508,18 +508,20 @@ _DOCS_GEO_SQL = (f"SELECT doc_id, lang, {LAT_SQL} AS lat, {LNG_SQL} AS lng "
 _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
 
+def _minhash_mins_sql(num_hashes: int) -> str:
+    # salted-md5 permutation family — mirrors dedup.perm_hash exactly
+    return ", ".join(
+        f"min(('0x' || substr(md5('mh{i}_' || s), 1, 15))::BIGINT) AS mh{i}"
+        for i in range(num_hashes))
+
+
 def _minhash_oracle_sql(num_hashes: int, n: int = 5) -> str:
-    params = dedup._minhash_params(num_hashes)
-    m = dedup.MERSENNE
-    mins = ", ".join(
-        f"min(({a} * h + {b}) % {m}) AS mh{i}" for i, (a, b) in enumerate(params))
     return f"""
 WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
 sh AS (SELECT doc_id,
        unnest(list_distinct([substr(t, i, {n}) for i in range(1, greatest(length(t) - {n - 1}, 1) + 1)])) AS s
-       FROM norm),
-hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh)
-SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+       FROM norm)
+SELECT doc_id, {_minhash_mins_sql(num_hashes)} FROM sh GROUP BY doc_id
 """
 
 
@@ -558,10 +560,7 @@ WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= {threshold}
 
 
 def _lsh_pairs_oracle_sql(num_hashes: int = 8, bands: int = 4, n: int = 5) -> str:
-    params = dedup._minhash_params(num_hashes)
-    m = dedup.MERSENNE
-    mins = ", ".join(
-        f"min(({a} * h + {b}) % {m}) AS mh{i}" for i, (a, b) in enumerate(params))
+    mins = _minhash_mins_sql(num_hashes)
     rpb = num_hashes // bands
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {bnd} AS band, md5(concat_ws('_', "
@@ -573,8 +572,7 @@ WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
 sh AS (SELECT doc_id,
        unnest(list_distinct([substr(t, i, {n}) for i in range(1, greatest(length(t) - {n - 1}, 1) + 1)])) AS s
        FROM norm),
-hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
-sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 buckets AS ({band_selects})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM buckets a JOIN buckets b USING (band, bucket)
@@ -582,29 +580,33 @@ WHERE a.doc_id < b.doc_id
 """
 
 
-def _verified_pairs_oracle_sql(num_hashes: int = 8, bands: int = 4,
-                               n: int = 5, threshold: float = 0.6) -> str:
-    params = dedup._minhash_params(num_hashes)
-    m = dedup.MERSENNE
-    mins = ", ".join(
-        f"min(({a} * h + {b}) % {m}) AS mh{i}" for i, (a, b) in enumerate(params))
+def _verified_pairs_oracle_sql(num_hashes: int = 16, bands: int = 4,
+                               n: int = 5, threshold: float = 0.8) -> str:
+    mins = _minhash_mins_sql(num_hashes)
     rpb = num_hashes // bands
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {bnd} AS band, md5(concat_ws('_', "
         + ", ".join(f"mh{bnd * rpb + r}::VARCHAR" for r in range(rpb))
         + ")) AS bucket FROM sig"
         for bnd in range(bands))
+    est_gate = max(0.0, threshold - 0.3)
+    est_sum = " + ".join(
+        f"(CASE WHEN ga.mh{i} = gb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes))
     return f"""
 WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
 sh AS (SELECT doc_id,
        unnest(list_distinct([substr(t, i, {n}) for i in range(1, greatest(length(t) - {n - 1}, 1) + 1)])) AS s
        FROM norm),
-hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
-sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 buckets AS ({band_selects}),
-cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM buckets a JOIN buckets b USING (band, bucket)
-         WHERE a.doc_id < b.doc_id),
+cand0 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM buckets a JOIN buckets b USING (band, bucket)
+          WHERE a.doc_id < b.doc_id),
+cand AS (SELECT c.id_a, c.id_b FROM cand0 c
+         JOIN sig ga ON ga.doc_id = c.id_a
+         JOIN sig gb ON gb.doc_id = c.id_b
+         WHERE ({est_sum}) / {float(num_hashes)} >= {est_gate}),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
           FROM cand c

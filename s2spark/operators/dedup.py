@@ -18,20 +18,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-MERSENNE = (1 << 61) - 1
-
-# deterministic (a, b) parameter table for the k minhash permutations.
-# a, b < 2^28 so a*h + b with a 32-bit shingle hash stays < 2^61 (no signed
-# overflow in either Spark or DuckDB BIGINT arithmetic).
-def _minhash_params(k: int) -> list[tuple[int, int]]:
-    params = []
-    a, b = 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F
-    mask = (1 << 28) - 1
-    for i in range(k):
-        params.append((((a * (i + 1)) & mask) | 1, (b * (i + 1) + i) & mask))
-    return params
-
-
 def shingle_hash(col: Column) -> Column:
     """Portable 32-bit hash of a shingle: first 8 md5 hex digits."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
@@ -58,24 +44,42 @@ def _exploded_shingles(documents: DataFrame, text_col: str, key_col: str,
     return df.select(key_col, F.explode(grams).alias("shingle"))
 
 
+def perm_hash(col: Column, i: int) -> Column:
+    """60-bit portable hash of a shingle under "permutation" i: md5 of a
+    salted shingle, first 15 hex digits.
+
+    Each i is an INDEPENDENT hash of the shingle content.  (An affine
+    a*h+b over a 32-bit base hash with a < 2^28 — the first-cut design —
+    never wraps the Mersenne modulus, so every "permutation" is monotone
+    in h and all k minima pick the SAME argmin shingle: the signature
+    degenerates to one effective hash and LSH recall/precision collapse.
+    Salted md5 restores k independent permutations while staying
+    bit-reproducible in DuckDB.)"""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"mh{i}_"), col)), 1, 15),
+                  16, 10).cast("long")
+
+
 def minhash_signatures(documents: DataFrame, text_col: str = "text",
                        key_col: str = "doc_id", n: int = 5,
                        num_hashes: int = 16) -> DataFrame:
-    """Per-doc MinHash signature: min over shingles of k affine permutations
-    of the portable shingle hash."""
+    """Per-doc MinHash signature: min over shingles of k independent
+    salted-md5 hashes (true permutation family; see perm_hash)."""
     ex = _exploded_shingles(documents, text_col, key_col, n)
-    h = shingle_hash(F.col("shingle"))
-    aggs = [F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE)).alias(f"mh{i}")
-            for i, (a, b) in enumerate(_minhash_params(num_hashes))]
+    aggs = [F.min(perm_hash(F.col("shingle"), i)).alias(f"mh{i}")
+            for i in range(num_hashes)]
     return ex.groupBy(key_col).agg(*aggs)
 
 
 def minhash_lsh_buckets(documents: DataFrame, text_col: str = "text",
                         key_col: str = "doc_id", n: int = 5,
-                        num_hashes: int = 16, bands: int = 4) -> DataFrame:
+                        num_hashes: int = 16, bands: int = 4,
+                        signatures: DataFrame | None = None) -> DataFrame:
     """(band, bucket_digest, key) rows: docs sharing a bucket in any band are
-    near-duplicate candidates."""
-    sig = minhash_signatures(documents, text_col, key_col, n, num_hashes)
+    near-duplicate candidates.  Pass precomputed `signatures` to avoid
+    re-deriving them (at production scale signatures are a materialized
+    index artifact, computed once per corpus snapshot)."""
+    sig = signatures if signatures is not None else \
+        minhash_signatures(documents, text_col, key_col, n, num_hashes)
     rows_per_band = num_hashes // bands
     out = []
     for b in range(bands):
@@ -92,9 +96,11 @@ def minhash_lsh_buckets(documents: DataFrame, text_col: str = "text",
 
 def minhash_candidate_pairs(documents: DataFrame, text_col: str = "text",
                             key_col: str = "doc_id", n: int = 5,
-                            num_hashes: int = 16, bands: int = 4) -> DataFrame:
+                            num_hashes: int = 16, bands: int = 4,
+                            signatures: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs = same bucket in >= 1 band (deduped)."""
-    b = minhash_lsh_buckets(documents, text_col, key_col, n, num_hashes, bands)
+    b = minhash_lsh_buckets(documents, text_col, key_col, n, num_hashes,
+                            bands, signatures=signatures)
     l = b.select(F.col("band"), F.col("bucket"), F.col(key_col).alias("id_a"))
     r = b.select(F.col("band"), F.col("bucket"), F.col(key_col).alias("id_b"))
     return (l.join(r, ["band", "bucket"])
@@ -167,12 +173,45 @@ def verified_near_dup_pairs(documents: DataFrame, text_col: str = "text",
     ONLY for candidates, so false-positive bucket collisions (template-
     heavy corpora collide constantly) never cause a false drop.
 
+    Between the band join and the exact join sits a SIGNATURE-ESTIMATE
+    gate: est = (matching minhashes)/num_hashes must reach
+    `threshold - 0.3`.  The estimate is a binomial(num_hashes, jaccard)
+    mean, so a true >=threshold pair fails the gate with probability
+    ~1e-4 at 16 hashes (3.8 sigma) — while template-heavy corpora, whose
+    band joins emit millions of ~0.3-jaccard collisions, shed ~90% of
+    candidates before the expensive shingle-intersection join.  The gate
+    is a pure function of the signatures, so the DuckDB oracle reproduces
+    it bit-for-bit.
+
     Output: (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     """
+    est_gate = max(0.0, threshold - 0.3)
+    # signatures are computed ONCE and persisted: the band join, the
+    # estimate gate, and (at scale) repeated runs all read the same tiny
+    # (#docs x num_hashes longs) table -- the materialized-index pattern.
+    sig = minhash_signatures(documents, text_col, key_col, n, num_hashes) \
+        .persist()
+    sig_arr = sig.select(
+        key_col, F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"))
     pairs = minhash_candidate_pairs(documents, text_col, key_col, n,
-                                    num_hashes, bands)
+                                    num_hashes, bands, signatures=sig)
+    pairs = (pairs
+             .join(sig_arr.select(F.col(key_col).alias("id_a"),
+                                  F.col("sig").alias("sa")), "id_a")
+             .join(sig_arr.select(F.col(key_col).alias("id_b"),
+                                  F.col("sig").alias("sb")), "id_b"))
+    est = F.aggregate(F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+                      F.lit(0), lambda acc, v: acc + v) / float(num_hashes)
+    pairs = pairs.where(est >= est_gate).select("id_a", "id_b")
     ex = _exploded_shingles(documents, text_col, key_col, n)
-    sizes = ex.groupBy(key_col).agg(F.count(F.lit(1)).alias("sz"))
+    # |distinct shingles| per doc: a map-only expression (size of the same
+    # distinct-grams array _exploded_shingles builds) — no explode/shuffle
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    tmp = documents.select(F.col(key_col), norm.alias("__norm"))
+    grams = F.array_distinct(F.expr(
+        f"transform(sequence(1, greatest(length(__norm) - {n - 1}, 1)), "
+        f"i -> substr(__norm, i, {n}))"))
+    sizes = tmp.select(F.col(key_col), F.size(grams).alias("sz"))
     ea = ex.select(F.col(key_col).alias("id_a"), "shingle")
     eb = ex.select(F.col(key_col).alias("id_b"), "shingle")
     inter = (pairs.join(ea, "id_a")                  # shingles of a, per pair
