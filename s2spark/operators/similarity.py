@@ -112,10 +112,25 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int, dim: int,
 
 def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                           vec_col: str = "embedding", key_col: str = "vec_id",
-                          dim: int = 64, bits: int = 12) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via SRP bucket self-join."""
+                          dim: int = 64, bits: int = 12,
+                          bucket_cap: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP bucket self-join.
+
+    bucket_cap bounds the self-join blowup from a skewed bucket: a bucket
+    holding b vectors emits b^2/2 pairs, so one degenerate bucket (e.g. a
+    corpus with millions of zero-ish embeddings sharing a sketch) can
+    detonate a reducer at 100 TB.  Buckets with more members than
+    bucket_cap are dropped from pair generation (documented recall
+    tradeoff: vectors inside an over-full bucket are almost certainly
+    exact duplicates better handled by exact dedup first).  None (the
+    default) disables the cap — exact with respect to the SRP candidate
+    semantics, and safe while buckets stay near-uniform."""
     d = embeddings.select(F.col(key_col), as_double_array(F.col(vec_col)).alias("v"))
     d = d.withColumn("bucket", srp_sketch(F.col("v"), dim, bits))
+    if bucket_cap is not None:
+        keep = (d.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+                .where(F.col("n") <= bucket_cap).select("bucket"))
+        d = d.join(keep, "bucket", "left_semi")
     l = d.select(F.col("bucket"), F.col(key_col).alias("id_a"), F.col("v").alias("va"))
     r = d.select(F.col("bucket"), F.col(key_col).alias("id_b"), F.col("v").alias("vb"))
     return (l.join(r, "bucket").where(F.col("id_a") < F.col("id_b"))

@@ -65,3 +65,22 @@ def test_ivf_deterministic(emb, queries):
     a = similarity.ivf_topk(emb, queries, k=5).collect()
     b = similarity.ivf_topk(emb, queries, k=5).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_near_dup_bucket_cap(emb):
+    from pyspark.sql import functions as F
+    uncapped = similarity.cosine_near_dup_pairs(emb, threshold=0.2, bits=10)
+    # cap >= max observed bucket size -> identical output
+    d = emb.select(similarity.as_double_array(F.col("embedding")).alias("v"))
+    sizes = (d.withColumn("b", similarity.srp_sketch(F.col("v"), 64, 10))
+             .groupBy("b").count().agg(F.max("count")).collect()[0][0])
+    capped_loose = similarity.cosine_near_dup_pairs(
+        emb, threshold=0.2, bits=10, bucket_cap=int(sizes))
+    a = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    b = {(r["id_a"], r["id_b"]) for r in capped_loose.collect()}
+    assert a == b
+    # a tight cap only removes pairs, never invents them
+    capped_tight = similarity.cosine_near_dup_pairs(
+        emb, threshold=0.2, bits=10, bucket_cap=2)
+    c = {(r["id_a"], r["id_b"]) for r in capped_tight.collect()}
+    assert c <= a

@@ -241,3 +241,32 @@ def test_knn_join_partial_results(spark):
                    max_rounds=3).toPandas()
     assert set(got["data_id"].tolist()) == {0, 1, 2}
     assert sorted(got["rank"].tolist()) == [1, 2, 3]
+
+
+def test_shuffle_join_skewed_hot_cell(spark, polygons):
+    """Deliberate skew: 60% of points at one location (one hot covering
+    cell).  The salted plan must (a) detect the hot cell and activate
+    key-splitting, and (b) produce exactly the broadcast join's result."""
+    from pyspark.sql import functions as F
+
+    base = points_with_cells(
+        mine_coordinates(synthesize_pages(spark, 8000).select("url", "text")))
+    hot = spark.range(12000).select(
+        F.concat(F.lit("hot://"), F.col("id").cast("string")).alias("url"),
+        (F.lit(48.85) + (F.col("id") % 100) * 1e-6).alias("lat"),
+        (F.lit(2.35) + (F.col("id") % 97) * 1e-6).alias("lng"))
+    hot = points_with_cells(hot)
+    cols = ["url", "cell_id", "x", "y", "z"]
+    pts = base.select(*cols).unionByName(hot.select(*cols)).cache()
+
+    a = spatial_join(spark, pts, polygons).select("url", "polygon_id")
+    out = spatial_join_shuffle(
+        spark, pts, polygons_to_df(spark, polygons),
+        hot_threshold=1000, n_salt=4, hot_sample_fraction=1.0)
+    b = out.select("url", "polygon_id")
+    # salting activated: the executed plan carries the salt expression
+    b.count()
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan, "hot-cell salting did not activate under skew"
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
