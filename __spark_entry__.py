@@ -328,8 +328,11 @@ def _q_simhash(spark, sf_dir):
 
 
 def _q_jaccard(spark, sf_dir):
+    # df_cap=500: stop-shingles shared by >500 docs leave the intersection
+    # join (sizes stay exact) — the documented lower-bound tradeoff that
+    # keeps the self-join linear-ish on template-heavy corpora
     return dedup.ngram_jaccard_pairs(_read(spark, sf_dir, "documents"),
-                                     n=8, threshold=0.35)
+                                     n=8, threshold=0.35, df_cap=500)
 
 
 def _q_verified_pairs(spark, sf_dir):
@@ -540,15 +543,21 @@ SELECT doc_id, ({recon})::BIGINT AS simhash FROM agg
 """
 
 
-def _jaccard_oracle_sql(n: int = 8, threshold: float = 0.35) -> str:
+def _jaccard_oracle_sql(n: int = 8, threshold: float = 0.35,
+                        df_cap: int = 500) -> str:
+    # same df-cap semantics as dedup.ngram_jaccard_pairs: stop-shingles
+    # (document frequency > cap) are dropped from INTERSECTION counting
+    # only; set sizes stay exact
     return f"""
 WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
 sh AS (SELECT doc_id,
        unnest(list_distinct([substr(t, i, {n}) for i in range(1, greatest(length(t) - {n - 1}, 1) + 1)])) AS s
        FROM norm),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {df_cap}),
+shk AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+          FROM shk a JOIN shk b USING (s) WHERE a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT id_a, id_b,
        round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
