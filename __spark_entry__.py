@@ -252,6 +252,24 @@ def _q_rect_distance(spark, sf_dir):
 # map-matching track for the polyline projection query (Paris-ish)
 _PROJECT_TRACK = [(48.0, 2.0), (48.5, 2.5), (49.0, 2.0), (50.0, 4.0)]
 
+# corridor query: two tracks, radius sized so the scattered
+# synthetic points yield a non-trivial match set at sf0.01)  [~1600 km]
+_CORRIDOR_TRACKS = {1: _PROJECT_TRACK,
+                    2: [(-10.0, -60.0), (-5.0, -55.0), (0.0, -50.0)]}
+_CORRIDOR_RADIUS = 0.25
+
+
+def _q_corridor_join(spark, sf_dir):
+    """Points within radius of polyline tracks ("pages near the route"):
+    polyline covering -> Expand(radius) -> broadcast equi-join -> exact
+    min-edge-distance residual."""
+    from s2spark.operators.distance_ops import corridor_join
+    pts = C.with_cell_id(_docs_geo(spark, sf_dir), "lat", "lng")
+    out = corridor_join(spark, pts.select("doc_id", "lat", "lng", "cell_id"),
+                        _CORRIDOR_TRACKS, _CORRIDOR_RADIUS)
+    return out.select("doc_id", "track_id",
+                      F.round("distance_rad", 9).alias("dist_r"))
+
 
 def _q_polyline_project(spark, sf_dir):
     """Snap every doc point to the nearest edge of a fixed polyline
@@ -474,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cap_query": _q_cap_query,
         "s2_boolean_pip": _q_boolean_pip,
         "s2_buffered_join": _q_buffered_join,
+        "s2_corridor_join": _q_corridor_join,
         "s2_rect_distance": _q_rect_distance,
         "s2_polyline_project": _q_polyline_project,
         "s2_polyline_length": _q_polyline_length,
@@ -756,6 +775,19 @@ def _buffered_join_oracle_sql() -> str:
             f"p AS (SELECT doc_id, lat, lng, {xyz} FROM src) {per_poly}")
 
 
+def _corridor_join_oracle_sql() -> str:
+    from s2spark.operators.distance_ops import (XYZ_COLS_SQL,
+                                                polyline_distance_sql)
+    xyz = ", ".join(f"{v} AS {k}" for k, v in XYZ_COLS_SQL.items())
+    per_track = " UNION ALL ".join(
+        f"SELECT doc_id, {tid} AS track_id, "
+        f"round({polyline_distance_sql(track)}, 9) AS dist_r FROM p "
+        f"WHERE {polyline_distance_sql(track)} <= {_CORRIDOR_RADIUS!r}"
+        for tid, track in _CORRIDOR_TRACKS.items())
+    return (f"WITH src AS ({_DOCS_GEO_SQL}), "
+            f"p AS (SELECT doc_id, lat, lng, {xyz} FROM src) {per_track}")
+
+
 def _rect_distance_oracle_sql() -> str:
     from s2spark.operators.distance_ops import XYZ_COLS_SQL, rect_distance_sql
     xyz = ", ".join(f"{v} AS {k}" for k, v in XYZ_COLS_SQL.items())
@@ -859,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
                 f"WHERE d <= {b[2]}"
                 for cid, b in _QUERY_CAPS.items())),
         "s2_buffered_join": _buffered_join_oracle_sql(),
+        "s2_corridor_join": _corridor_join_oracle_sql(),
         "s2_rect_distance": _rect_distance_oracle_sql(),
         "s2_polyline_project": _polyline_project_oracle(),
         "s2_polyline_length": f"""

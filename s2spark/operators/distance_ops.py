@@ -298,3 +298,61 @@ SELECT {id_col}, edge_idx, round(distance_rad, 9) AS dist_r,
        round(degrees(atan2(qy, qx)), 6) AS proj_lng
 FROM q
 """
+
+
+def polyline_distance_sql(latlngs_deg: list[tuple[float, float]]) -> str:
+    """SQL text: min geodesic distance (radians) from (px,py,pz) to a fixed
+    polyline (min over edge distances — S2Polyline + S2EdgeUtil.GetDistance)."""
+    verts = [_xyz(math.radians(la), math.radians(ln)) for la, ln in latlngs_deg]
+    dists = [point_edge_distance_sql(verts[i], verts[i + 1])
+             for i in range(len(verts) - 1)]
+    return "least(" + ", ".join(dists) + ")" if len(dists) > 1 else dists[0]
+
+
+def corridor_join(spark, pts: DataFrame,
+                  tracks: dict[int, list[tuple[float, float]]],
+                  radius_rad: float, coverer_max_cells: int = 16,
+                  max_level_diff: int = 4) -> DataFrame:
+    """Points within radius_rad of each polyline track: "pages within 5 km
+    of the route" — the corridor/map-matching prefilter.
+
+    Plan mirrors buffered_polygon_join: polyline covering (the Polyline
+    region drives the same RegionCoverer) -> CellUnion.Expand(radius,
+    maxLevelDiff) -> broadcast equi-join on ancestor keys -> exact codegen
+    min-edge-distance residual.  At 100 TB: one map-side broadcast join +
+    arithmetic, no shuffle of the points."""
+    import numpy as np
+
+    from ..functions import columns as C
+    from ..kernel import cellid as cik
+    from ..kernel import cellunion as cuk
+    from ..kernel.coverer import RegionCoverer
+    from ..kernel.polyline import Polyline
+
+    rows = []
+    residual = None
+    for tid, latlngs in tracks.items():
+        verts = np.array([_xyz(math.radians(la), math.radians(ln))
+                          for la, ln in latlngs], dtype=np.float64)
+        cover = RegionCoverer(max_cells=coverer_max_cells).get_covering(
+            Polyline(verts))
+        buf = cuk.expand_radius(np.asarray(cover, dtype=np.uint64),
+                                radius_rad, max_level_diff)
+        levels = cik.level_of(buf)
+        for cell, lvl in zip(cik.to_signed(buf).tolist(), levels.tolist()):
+            rows.append((tid, int(cell), int(lvl)))
+        dist = F.expr(polyline_distance_sql(latlngs))
+        residual = (F.when(F.col("track_id") == tid, dist)
+                    if residual is None
+                    else residual.when(F.col("track_id") == tid, dist))
+    cov = spark.createDataFrame(
+        rows, "track_id int, cov_cell long, cov_level int")
+    join_levels = sorted({r[2] for r in rows})
+    probe = with_xyz(pts).withColumn(
+        "probe_cell",
+        F.explode(F.array(*[C.parent_for_level(F.col("cell_id"), lv)
+                            for lv in join_levels])))
+    cand = probe.join(F.broadcast(cov), probe.probe_cell == cov.cov_cell)
+    return (cand.withColumn("distance_rad", residual)
+            .where(F.col("distance_rad") <= radius_rad)
+            .drop("px", "py", "pz", "probe_cell", "cov_cell", "cov_level"))
