@@ -66,3 +66,83 @@ def test_simple_covering_flood_fill():
     pts = np.cos(t)[:, None] * np.array([1.0, 0, 0]) + np.sin(t)[:, None] * d
     leafs = ci.from_point(pts[:, 0], pts[:, 1], pts[:, 2])
     assert bool(np.all(contains_id(cells, leafs)))
+
+
+def _n(p):
+    s = math.sqrt(sum(v * v for v in p))
+    return tuple(v / s for v in p)
+
+
+def _approx(a, b, eps=1e-12):
+    return all(abs(x - y) <= eps for x, y in zip(a, b))
+
+
+def test_length_random_great_circles():
+    """S2PolylineTest.cs:82-111: random great circles split into random
+    segments always measure 2*pi."""
+    rng = np.random.default_rng(31)
+    for _ in range(100):
+        x = _n(rng.normal(size=3))
+        r = rng.normal(size=3)
+        y = _n(np.cross(x, r))
+        vertices = []
+        theta = 0.0
+        while theta < 2 * math.pi:
+            p = tuple(np.array(x) * math.cos(theta) + np.array(y) * math.sin(theta))
+            if not vertices or p != vertices[-1]:
+                vertices.append(p)
+            theta += rng.random() ** 10
+        vertices.append(vertices[0])
+        pl = Polyline(np.array(vertices))
+        assert abs(pl.arc_length() - 2 * math.pi) < 2e-14
+
+
+def test_interpolate_reference_goldens():
+    """S2PolylineTest.cs:114-131."""
+    verts = np.array([(1, 0, 0), (0, 1, 0), _n((0, 1, 1)), (0, 0, 1)],
+                     dtype=np.float64)
+    line = Polyline(verts)
+    assert _approx(line.interpolate(-0.1), tuple(verts[0]))
+    assert _approx(line.interpolate(0.1),
+                   _n((1, math.tan(0.2 * math.pi / 2), 0)), 1e-9)
+    assert _approx(line.interpolate(0.25), _n((1, 1, 0)), 1e-9)
+    assert _approx(line.interpolate(0.5), tuple(verts[1]), 1e-9)
+    assert _approx(line.interpolate(0.75), tuple(verts[2]), 1e-9)
+    assert _approx(line.interpolate(1.1), tuple(verts[3]), 1e-9)
+
+
+def test_may_intersect_face_matrix():
+    """S2PolylineTest.cs:134-146: the diagonal segment intersects exactly
+    the even faces."""
+    verts = np.array([_n((1, -1.1, 0.8)), _n((1, -0.8, 1.1))])
+    line = Polyline(verts)
+    for face in range(6):
+        cell = Cell(int(ci.from_face_pos_level(
+            np.array([face]), np.array([0], dtype=np.uint64),
+            np.array([0]))[0]))
+        assert line.may_intersect_cell(cell) == ((face & 1) == 0)
+
+
+def test_project_reference_goldens():
+    """S2PolylineTest.cs:148-189."""
+    from s2spark.kernel import cellid as cik
+
+    def pt(lat, lng):
+        x, y, z = cik.xyz_from_latlng_deg(np.array([float(lat)]),
+                                          np.array([float(lng)]))
+        return (float(x[0]), float(y[0]), float(z[0]))
+
+    line = Polyline(np.array([pt(0, 0), pt(0, 1), pt(0, 2), pt(1, 2)]))
+    cases = [
+        ((0.5, -0.5), (0, 0), 0),
+        ((0.5, 0.5), (0, 0.5), 0),
+        ((0.5, 1), (0, 1), 0),
+        ((-0.5, 2.5), (0, 2), 1),
+        ((2, 2), (1, 2), 2),
+    ]
+    for (qlat, qlng), (elat, elng), eidx in cases:
+        q = pt(qlat, qlng)
+        idx = line.get_nearest_edge_index(*q)
+        proj = line.project_to_edge(*q, idx)
+        assert idx == eidx
+        assert _approx(proj, pt(elat, elng), 1e-9)
