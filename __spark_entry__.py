@@ -366,6 +366,14 @@ def _q_lsh_pairs(spark, sf_dir):
         _read(spark, sf_dir, "documents"), n=5, num_hashes=8, bands=4)
 
 
+def _q_cc_clusters(spark, sf_dir):
+    """Near-dup clustering: LSH-verified pairs -> connected components
+    (alternating large/small-star, O(log n) shuffle rounds) -> canonical
+    min-id doc per cluster.  Every doc gets a row; singletons self-cluster."""
+    return dedup.dedup_clusters(_read(spark, sf_dir, "documents"),
+                                n=5, num_hashes=16, bands=4, threshold=0.8)
+
+
 def _q_multimodal(spark, sf_dir):
     """Decode -> feature pipeline over binary media payloads (mapInPandas).
     Payloads are derived from document text (sha256 hex) so the md5-chain
@@ -504,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_jaccard,
         "dedup_lsh_pairs": _q_lsh_pairs,
         "dedup_verified_pairs": _q_verified_pairs,
+        "dedup_cc_clusters": _q_cc_clusters,
         "multimodal_features": _q_multimodal,
         "similarity_near_dup_pairs": _q_near_dup,
         "text_quality": _q_quality,
@@ -647,6 +656,27 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE round(i.n_inter / (sa.sz + sb.sz - i.n_inter), 6) >= {threshold}
+"""
+
+
+def _cc_clusters_oracle_sql(num_hashes: int = 16, bands: int = 4,
+                            n: int = 5, threshold: float = 0.8) -> str:
+    """Connected components over the verified near-dup pair graph:
+    transitive closure via a recursive CTE, component = min reachable id."""
+    vp = _verified_pairs_oracle_sql(num_hashes, bands, n, threshold).strip()
+    return f"""
+WITH RECURSIVE pairs AS ({vp}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (SELECT u, v FROM edges
+                UNION
+                SELECT reach.u, edges.v FROM reach
+                JOIN edges ON reach.v = edges.u),
+comp AS (SELECT u AS node, min(v) AS mn FROM reach GROUP BY u)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(c.mn, d.doc_id)) AS cluster_id,
+       (least(d.doc_id, coalesce(c.mn, d.doc_id)) = d.doc_id) AS is_kept
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
@@ -927,6 +957,7 @@ FROM per_session GROUP BY user_id
         "dedup_ngram_jaccard": _jaccard_oracle_sql(),
         "dedup_lsh_pairs": _lsh_pairs_oracle_sql(),
         "dedup_verified_pairs": _verified_pairs_oracle_sql(),
+        "dedup_cc_clusters": _cc_clusters_oracle_sql(),
         "multimodal_features": _multimodal_oracle_sql(),
         "similarity_lsh_topk": _lsh_topk_oracle_sql(),
         "similarity_ivf_topk": _ivf_topk_oracle_sql(),

@@ -163,6 +163,98 @@ def ngram_jaccard_pairs(documents: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "jaccard"))
 
 
+def _edge_checksum(edges: DataFrame) -> tuple:
+    """Order-insensitive fingerprint of an edge set (count + hash sum).
+    Scalar aggregate — the only driver-side value in the CC loop."""
+    row = edges.agg(F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum(F.hash("u", "v").cast("long")),
+                               F.lit(0)).alias("h")).collect()[0]
+    return (row["n"], row["h"])
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_rounds: int = 16) -> DataFrame:
+    """(node, component) for every node in the pair graph, where component
+    is the MINIMUM node id in the node's connected component.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+    O(log n) rounds regardless of graph diameter, unlike min-label
+    propagation whose round count equals the diameter (a 10^6-long chain of
+    near-dup docs would need 10^6 shuffles under propagation, ~20 here).
+    Each round is two groupBy/join stages keyed on node id;
+    `localCheckpoint` truncates the iterative lineage so plans stay flat.
+
+    * large-star: every neighbor v > u is re-pointed at
+      m = min(N(u) + [u])   (halves long chains)
+    * small-star: every smaller-neighbor v < u (and u itself) is pointed at
+      m = min of the smaller neighborhood   (flattens into stars)
+
+    On convergence the edge set IS the component map: (v, m) with m the
+    component minimum; minima themselves have no outgoing edge.
+    """
+    edges = (pairs.select(F.col(id_a).cast("long").alias("u"),
+                          F.col(id_b).cast("long").alias("v"))
+             .where(F.col("u") != F.col("v")).distinct())
+    nodes = (pairs.select(F.col(id_a).cast("long").alias("node"))
+             .unionByName(pairs.select(F.col(id_b).cast("long").alias("node")))
+             .distinct())
+
+    prev = None
+    for _ in range(max_rounds):
+        # large-star over the symmetric neighborhood
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", F.col("u")).alias("m")))
+        edges = (sym.join(mins, "u")
+                 .where(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .where(F.col("u") != F.col("v")).distinct())
+        # small-star over edges directed toward the smaller endpoint
+        d = (edges.select(F.greatest("u", "v").alias("u"),
+                          F.least("u", "v").alias("v")))
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        nb = d.join(mins, "u")
+        edges = (nb.select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .unionByName(mins.select("u", F.col("m").alias("v")))
+                 .where(F.col("u") != F.col("v")).distinct()
+                 .localCheckpoint())
+        cur = _edge_checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    comp = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return (nodes.join(comp, "node", "left")
+            .select("node",
+                    F.coalesce("component", F.col("node")).alias("component")))
+
+
+def dedup_clusters(documents: DataFrame, text_col: str = "text",
+                   key_col: str = "doc_id", n: int = 5,
+                   num_hashes: int = 16, bands: int = 4,
+                   threshold: float = 0.8) -> DataFrame:
+    """End-to-end near-dup clustering: LSH-verified pairs -> connected
+    components -> one canonical (min-id) doc per cluster.
+
+    Output: (doc_id, cluster_id, is_kept) for EVERY document — singletons
+    cluster with themselves.  `is_kept` marks the canonical doc; filtering
+    on it yields the deduplicated corpus.  This is the full production
+    near-dup removal pipeline shape at 100 TB: banded LSH bounds candidate
+    generation, exact Jaccard prevents false drops, large/small-star
+    bounds shuffle rounds at O(log n)."""
+    pairs = verified_near_dup_pairs(documents, text_col, key_col, n,
+                                    num_hashes, bands, threshold)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (documents.select(F.col(key_col))
+            .join(comp.withColumnRenamed("node", key_col), key_col, "left")
+            .select(key_col,
+                    F.coalesce("component", F.col(key_col)).alias("cluster_id"))
+            .withColumn("is_kept", F.col("cluster_id") == F.col(key_col)))
+
+
 def verified_near_dup_pairs(documents: DataFrame, text_col: str = "text",
                             key_col: str = "doc_id", n: int = 5,
                             num_hashes: int = 16, bands: int = 4,
