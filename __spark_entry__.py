@@ -412,6 +412,31 @@ def _q_token_count(spark, sf_dir):
     return textstats.token_counts(_read(spark, sf_dir, "documents"))
 
 
+def _q_decontamination(spark, sf_dir):
+    """Benchmark decontamination: eval set = doc_id % 13 == 0 (stand-in for
+    a held-out benchmark), corpus = the rest; word-3-gram overlap flags."""
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 13 == 0)
+    corpus = docs.where(F.col("doc_id") % 13 != 0)
+    return textstats.decontaminate(corpus, bench, n_words=3, threshold=0.05)
+
+
+def _q_repetition(spark, sf_dir):
+    return textstats.repetition_stats(_read(spark, sf_dir, "documents"),
+                                      n_words=3)
+
+
+def _q_domain_stats(spark, sf_dir):
+    return textstats.domain_stats(_read(spark, sf_dir, "documents"))
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-based stratified corpus sampling by language."""
+    return textstats.stratified_sample(
+        _read(spark, sf_dir, "documents"),
+        rates={"en": 60, "de": 30}, default_pct=15)
+
+
 def _q_sim_bruteforce(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 8).select(
@@ -520,6 +545,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "text_doc_stats": _q_doc_stats,
         "text_token_count": _q_token_count,
+        "text_decontamination": _q_decontamination,
+        "text_repetition": _q_repetition,
+        "text_domain_stats": _q_domain_stats,
+        "corpus_sample_stratified": _q_stratified_sample,
         "similarity_bruteforce_topk": _q_sim_bruteforce,
         "similarity_lsh_topk": _q_sim_lsh,
         "similarity_ivf_topk": _q_sim_ivf,
@@ -840,6 +869,63 @@ def _multimodal_oracle_sql() -> str:
         "SELECT doc_id AS media_id, sha256(text) AS p FROM documents")
 
 
+_WORD_GRAMS_SQL = (
+    "[array_to_string(w[i:i+2], ' ') "
+    "for i in range(1, greatest(len(w) - 2, 0) + 1)]")
+
+_TOKS_CTE = (f"norm AS (SELECT doc_id, lang, {_NORM_SQL} AS t FROM documents), "
+             f"toks AS (SELECT doc_id, lang, string_split(t, ' ') AS w FROM norm)")
+
+
+def _decontamination_oracle_sql(threshold: float = 0.05) -> str:
+    return f"""
+WITH {_TOKS_CTE},
+grams AS (SELECT doc_id, list_distinct({_WORD_GRAMS_SQL}) AS g FROM toks),
+bench AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 13 = 0),
+corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 13 != 0),
+hits AS (SELECT c.doc_id, count(*) AS n_overlap
+         FROM (SELECT doc_id, unnest(g) AS gram FROM corpus) c
+         JOIN bench USING (gram) GROUP BY c.doc_id)
+SELECT c.doc_id, len(c.g) AS n_grams,
+       coalesce(h.n_overlap, 0) AS n_overlap,
+       round(coalesce(h.n_overlap, 0) / greatest(len(c.g), 1), 6) AS overlap_frac,
+       (round(coalesce(h.n_overlap, 0) / greatest(len(c.g), 1), 6) >= {threshold}) AS contaminated
+FROM corpus c LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def _repetition_oracle_sql() -> str:
+    return f"""
+WITH {_TOKS_CTE},
+g AS (SELECT doc_id, {_WORD_GRAMS_SQL} AS ga FROM toks)
+SELECT doc_id, len(ga) AS n_grams, len(list_distinct(ga)) AS n_distinct,
+       round((len(ga) - len(list_distinct(ga))) / greatest(len(ga), 1), 6) AS dup_frac
+FROM g
+"""
+
+
+def _domain_stats_oracle_sql() -> str:
+    bpe = textstats.BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"""
+SELECT source AS domain, count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       sum(length(text)) AS total_chars,
+       round(avg(len(string_split({_NORM_SQL}, ' '))), 4) AS avg_ws_tokens,
+       sum(len(regexp_extract_all(text, '{bpe}'))) AS total_bpe_tokens
+FROM documents GROUP BY source
+"""
+
+
+def _stratified_sample_oracle_sql() -> str:
+    return """
+SELECT doc_id, lang, bucket AS sample_bucket FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents)
+WHERE bucket < (CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30 ELSE 15 END)
+"""
+
+
 def _sim_bruteforce_oracle_sql() -> str:
     return """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
@@ -993,6 +1079,10 @@ SELECT lang, count(*) AS n_docs,
     round(avg(round(n_stop / greatest(n_tokens, 1), 6)), 4) AS avg_stopword_ratio
 FROM feat GROUP BY lang
 """,
+        "text_decontamination": _decontamination_oracle_sql(),
+        "text_repetition": _repetition_oracle_sql(),
+        "text_domain_stats": _domain_stats_oracle_sql(),
+        "corpus_sample_stratified": _stratified_sample_oracle_sql(),
         "similarity_bruteforce_topk": _sim_bruteforce_oracle_sql(),
         "embedding_stats": """
 SELECT label, count(*) AS n_vecs,

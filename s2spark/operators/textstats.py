@@ -114,3 +114,102 @@ def doc_stats(documents: DataFrame) -> DataFrame:
                  F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
                  F.round(F.avg("alpha_ratio"), 4).alias("avg_alpha_ratio"),
                  F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio")))
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """List of word n-grams of a text column (JVM exprs only).  Empty list
+    for texts shorter than n words (Spark's sequence() would otherwise
+    DESCEND for stop < start and fabricate grams)."""
+    norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    toks = F.split(norm, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")) \
+            .otherwise(grams)
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", key_col: str = "doc_id",
+                  n_words: int = 3, threshold: float = 0.05) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing word
+    n-grams with an evaluation set (the standard pre-training hygiene step
+    — e.g. GPT-3 appendix C / PaLM use 8-13-gram overlap).
+
+    Scale shape: the benchmark gram set is tiny relative to the corpus
+    (eval suites are ~10^5 docs vs 10^9+), so its DISTINCT grams are
+    BROADCAST; the corpus side is a map-side explode + broadcast-hash
+    semi-probe + groupBy(doc) count — one shuffle keyed on doc_id, no
+    skew (each doc contributes at most its own gram count).
+
+    Output per corpus doc: n_grams (distinct), n_overlap, overlap_frac,
+    contaminated (overlap_frac >= threshold).  Docs with zero overlap are
+    kept with n_overlap=0 so the output is a full corpus annotation.
+    """
+    bench_grams = (benchmark
+                   .select(F.explode(F.array_distinct(
+                       word_ngrams(F.col(text_col), n_words))).alias("gram"))
+                   .distinct())
+    grams = corpus.select(
+        F.col(key_col),
+        F.array_distinct(word_ngrams(F.col(text_col), n_words)).alias("__g"))
+    sizes = grams.select(key_col, F.size("__g").alias("n_grams"))
+    hits = (grams.select(key_col, F.explode("__g").alias("gram"))
+            .join(F.broadcast(bench_grams), "gram")
+            .groupBy(key_col).agg(F.count(F.lit(1)).alias("n_overlap")))
+    out = (sizes.join(hits, key_col, "left")
+           .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
+           .withColumn("overlap_frac", F.round(
+               F.col("n_overlap") / F.greatest("n_grams", F.lit(1)), 6)))
+    return out.withColumn("contaminated", F.col("overlap_frac") >= threshold)
+
+
+def repetition_stats(documents: DataFrame, text_col: str = "text",
+                     key_col: str = "doc_id", n_words: int = 3) -> DataFrame:
+    """Intra-document repetition (Gopher/C4-style quality rule): fraction
+    of duplicated word n-grams within each doc.  Map-only — array exprs,
+    no explode, no shuffle."""
+    grams = word_ngrams(F.col(text_col), n_words)
+    n_total = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return documents.select(
+        F.col(key_col),
+        n_total.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        F.round((n_total - n_distinct).cast("double")
+                / F.greatest(n_total, F.lit(1)), 6).alias("dup_frac"))
+
+
+def domain_stats(documents: DataFrame, domain_col: str = "source",
+                 text_col: str = "text") -> DataFrame:
+    """Per-domain corpus accounting (doc counts, language spread, size,
+    token budget) — the source-mixing table of a training-data pipeline.
+    One partial-aggregated groupBy on the domain key."""
+    t = F.col(text_col)
+    return (documents.groupBy(F.col(domain_col).alias("domain"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.sum(F.length(t)).alias("total_chars"),
+                 F.round(F.avg(token_count(t)), 4).alias("avg_ws_tokens"),
+                 F.sum(bpe_token_count(t)).alias("total_bpe_tokens")))
+
+
+def stratified_sample(documents: DataFrame, rates: dict[str, int],
+                      default_pct: int = 10, strat_col: str = "lang",
+                      key_col: str = "doc_id") -> DataFrame:
+    """Deterministic hash-based stratified sampling: keep a doc iff
+    md5(key) mod 100 < pct(stratum).  Unlike df.sample(), the decision is
+    a pure function of the key — reproducible across runs, engines
+    (DuckDB oracle), cluster sizes, and partitionings, which is what a
+    training-data pipeline needs for auditable corpus freezes.  Map-only.
+
+    `rates` maps stratum value -> keep percentage (0-100)."""
+    bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
+                    16, 10).cast("long") % 100
+    pct = F.lit(default_pct)
+    for value, p in sorted(rates.items()):
+        pct = F.when(F.col(strat_col) == value, F.lit(p)).otherwise(pct)
+    return (documents
+            .withColumn("sample_bucket", bucket)
+            .where(F.col("sample_bucket") < pct)
+            .select(key_col, strat_col, "sample_bucket"))

@@ -1,0 +1,71 @@
+"""Training-pipeline text operators: decontamination, repetition,
+domain stats, stratified sampling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from s2spark.operators import textstats
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from s2spark.plans.session import build_session
+    s = build_session(app_name="s2spark-textpipe-tests", master="local[4]",
+                      shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def test_word_ngrams_short_text(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c"), (3, "a b c d"), (4, ""), (5, "  x  y  z ")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["g"] for r in df.select(
+        "doc_id", textstats.word_ngrams(F.col("text"), 3).alias("g")).collect()}
+    assert got[1] == []          # shorter than n: no fabricated grams
+    assert got[2] == ["a b c"]
+    assert got[3] == ["a b c", "b c d"]
+    assert got[4] == []
+    assert got[5] == ["x y z"]   # whitespace-normalized
+
+
+def test_decontaminate_flags_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox sleeps well tonight"),   # shares 2 grams
+         (2, "completely different words here entirely")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.decontaminate(
+        corpus, bench, n_words=3, threshold=0.3).collect()}
+    assert got[1]["n_overlap"] == 2      # "the quick brown", "quick brown fox"
+    assert got[1]["contaminated"] is True
+    assert got[2]["n_overlap"] == 0
+    assert got[2]["contaminated"] is False
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"),       # highly repetitive
+         (2, "one two three four five")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           textstats.repetition_stats(df, n_words=3).collect()}
+    assert got[1]["n_grams"] == 7 and got[1]["n_distinct"] == 3
+    assert got[1]["dup_frac"] == pytest.approx(4 / 7, abs=1e-6)
+    assert got[2]["dup_frac"] == 0.0
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de", "t") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    a = sorted(r["doc_id"] for r in textstats.stratified_sample(
+        df, rates={"en": 50, "de": 10}).collect())
+    b = sorted(r["doc_id"] for r in textstats.stratified_sample(
+        df.repartition(7), rates={"en": 50, "de": 10}).collect())
+    assert a == b  # pure function of the key: partitioning-invariant
+    n_en = sum(1 for i in a if i % 2 == 0)
+    n_de = len(a) - n_en
+    assert 400 <= n_en <= 600    # ~50% of 1000
+    assert 50 <= n_de <= 160     # ~10% of 1000
