@@ -366,6 +366,27 @@ def _q_lsh_pairs(spark, sf_dir):
         _read(spark, sf_dir, "documents"), n=5, num_hashes=8, bands=4)
 
 
+def _q_tile_quantiles(spark, sf_dir):
+    """Per-tile doc-length distribution (median/p90 of n_chars per level-4
+    tile): corpus-geography QA.  Spark's exact `percentile` aggregates a
+    value->count map partially per partition (n_chars cardinality is
+    bounded), so the plan is one shuffle on tile id; at unbounded-cardinality
+    100 TB scale swap in approx_percentile (t-digest) — same plan shape."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    g = C.with_cell_id(_docs_geo(spark, sf_dir), "lat", "lng").join(docs, "doc_id")
+    return (g.groupBy(C.parent_for_level(F.col("cell_id"), 4).alias("tile4"))
+            .agg(F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+                 F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
+def _q_chunk_dedup(spark, sf_dir):
+    """C4/RefinedWeb-style span dedup: 20-word chunks, first corpus
+    occurrence wins, surviving text reassembled per doc (map-only chunking,
+    one min-struct agg on chunk digest — no self-join)."""
+    return dedup.chunk_dedup(_read(spark, sf_dir, "documents"), chunk_words=20)
+
+
 def _q_cc_clusters(spark, sf_dir):
     """Near-dup clustering: LSH-verified pairs -> connected components
     (alternating large/small-star, O(log n) shuffle rounds) -> canonical
@@ -538,6 +559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": _q_lsh_pairs,
         "dedup_verified_pairs": _q_verified_pairs,
         "dedup_cc_clusters": _q_cc_clusters,
+        "s2_tile_quantiles": _q_tile_quantiles,
+        "text_chunk_dedup": _q_chunk_dedup,
         "multimodal_features": _q_multimodal,
         "similarity_near_dup_pairs": _q_near_dup,
         "text_quality": _q_quality,
@@ -1044,6 +1067,38 @@ FROM per_session GROUP BY user_id
         "dedup_lsh_pairs": _lsh_pairs_oracle_sql(),
         "dedup_verified_pairs": _verified_pairs_oracle_sql(),
         "dedup_cc_clusters": _cc_clusters_oracle_sql(),
+        "s2_tile_quantiles": encode_query(
+            _DOCS_GEO_SQL,
+            f"SELECT {sql_parent_for_level('cell_id', 4)} AS tile4, "
+            f"round(quantile_cont(n_chars, 0.5), 4) AS p50_chars, "
+            f"round(quantile_cont(n_chars, 0.9), 4) AS p90_chars, "
+            f"count(*) AS n_docs "
+            f"FROM encoded JOIN documents USING (doc_id) GROUP BY 1"),
+        "text_chunk_dedup": f"""
+WITH d AS (
+  SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+), w AS (
+  SELECT doc_id, string_split(norm, ' ') AS words,
+         greatest(ceil(len(string_split(norm, ' ')) / 20.0)::int, 1) AS n_total
+  FROM d
+), ex AS (
+  SELECT doc_id, n_total, i::int - 1 AS chunk_idx,
+         array_to_string(words[((i::int-1)*20+1):((i::int-1)*20+20)], ' ') AS chunk
+  FROM w, LATERAL (SELECT unnest(range(1, n_total + 1)) AS i) t
+), kept AS (
+  SELECT * FROM (
+    SELECT ex.*, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+    FROM ex) z WHERE rn = 1
+), asm AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS dedup_text,
+         count(*) AS n_chunks_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id, coalesce(asm.dedup_text, '') AS dedup_text,
+       coalesce(asm.n_chunks_kept, 0) AS n_chunks_kept,
+       w.n_total AS n_chunks_total
+FROM w LEFT JOIN asm USING (doc_id)
+""",
         "multimodal_features": _multimodal_oracle_sql(),
         "similarity_lsh_topk": _lsh_topk_oracle_sql(),
         "similarity_ivf_topk": _ivf_topk_oracle_sql(),

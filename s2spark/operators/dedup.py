@@ -156,11 +156,68 @@ def ngram_jaccard_pairs(documents: DataFrame, text_col: str = "text",
              .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter")))
     sz_a = sizes.select(F.col(key_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(key_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    return (inter.join(F.broadcast(sz_a), "id_a").join(F.broadcast(sz_b), "id_b")
+    # auto-broadcast only: the per-doc size table has one row per corpus doc
+    # and cannot be force-broadcast at 10^12-doc scale
+    return (inter.join(sz_a, "id_a").join(sz_b, "id_b")
             .withColumn("jaccard", F.round(
                 F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6))
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def chunk_dedup(documents: DataFrame, text_col: str = "text",
+                key_col: str = "doc_id", chunk_words: int = 20) -> DataFrame:
+    """C4/RefinedWeb-style span deduplication: split each document into
+    consecutive `chunk_words`-word chunks, drop every chunk whose exact text
+    already occurred earlier in the corpus (order = (doc_id, chunk_idx)),
+    and reassemble the surviving text per document.
+
+    Unlike whole-doc dedup this removes boilerplate spans (navigation bars,
+    license blocks, quoted templates) duplicated ACROSS different documents
+    — the op C4 applies at the line level and RefinedWeb at the span level.
+
+    Scale shape: chunking is a map-only JVM expression (split + transform +
+    slice — no explode of words, no Python); the only shuffles are the
+    groupBy on chunk digest (uniform md5 keys) and the per-doc reassembly
+    groupBy.  First-occurrence selection is one min(struct) aggregate, so a
+    chunk shared by 10^6 docs costs one combine tree, never a self-join.
+
+    Output: (key, dedup_text, n_chunks_kept, n_chunks_total).
+    """
+    w = chunk_words
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    df = documents.select(F.col(key_col), norm.alias("__norm"))
+    words = F.split(F.col("__norm"), " ")
+    n_chunks = F.greatest(F.ceil(F.size(words) / F.lit(float(w))).cast("int"),
+                          F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * w + 1, w), " "))
+    ex = df.select(key_col, F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    # first occurrence of each distinct chunk across the corpus: one
+    # min(struct) agg — (doc_id, chunk_idx) lexicographic order
+    firsts = (ex.groupBy("chunk")
+              .agg(F.min(F.struct(F.col(key_col).alias("k"),
+                                  F.col("chunk_idx").alias("i"))).alias("f")))
+    kept = (ex.join(firsts, "chunk")
+            .where((F.col(key_col) == F.col("f.k"))
+                   & (F.col("chunk_idx") == F.col("f.i"))))
+    assembled = (kept.groupBy(key_col)
+                 .agg(F.array_join(
+                          F.transform(
+                              F.array_sort(F.collect_list(
+                                  F.struct(F.col("chunk_idx"), F.col("chunk")))),
+                              lambda s: s["chunk"]),
+                          " ").alias("dedup_text"),
+                      F.count(F.lit(1)).alias("n_chunks_kept")))
+    # docs whose EVERY chunk was seen earlier keep an empty-text row
+    # (C4 semantics: the document survives, its content is fully removed)
+    base = df.select(key_col, n_chunks.alias("n_chunks_total"))
+    return (base.join(assembled, [key_col], "left")
+            .select(key_col,
+                    F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+                    F.coalesce("n_chunks_kept", F.lit(0)).alias("n_chunks_kept"),
+                    "n_chunks_total"))
 
 
 def _edge_checksum(edges: DataFrame) -> tuple:
@@ -294,12 +351,25 @@ def verified_near_dup_pairs(documents: DataFrame, text_col: str = "text",
                                   F.col("sig").alias("sb")), "id_b"))
     est = F.aggregate(F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
                       F.lit(0), lambda acc, v: acc + v) / float(num_hashes)
-    pairs = pairs.where(est >= est_gate).select("id_a", "id_b")
-    ex = _exploded_shingles(documents, text_col, key_col, n)
+    # persist the gated pairs: used three times below (two explode-side
+    # semi-joins + the intersection join) — without this Spark re-derives
+    # the whole band join + gate per use
+    pairs = pairs.where(est >= est_gate).select("id_a", "id_b").persist()
+    # The exact verify only touches docs that SURVIVED the gate — semi-join
+    # the corpus down BEFORE exploding shingles.  At production scale the
+    # candidate set is a tiny fraction of the corpus, so this turns the
+    # verify stage's shuffle from O(corpus shingles) into O(candidate
+    # shingles); output is identical (non-candidate docs never reach the
+    # intersection join anyway).
+    cand_ids = (pairs.select(F.col("id_a").alias(key_col))
+                .unionByName(pairs.select(F.col("id_b").alias(key_col)))
+                .distinct())
+    docs_cand = documents.join(cand_ids, key_col, "semi")
+    ex = _exploded_shingles(docs_cand, text_col, key_col, n)
     # |distinct shingles| per doc: a map-only expression (size of the same
     # distinct-grams array _exploded_shingles builds) — no explode/shuffle
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    tmp = documents.select(F.col(key_col), norm.alias("__norm"))
+    tmp = docs_cand.select(F.col(key_col), norm.alias("__norm"))
     grams = F.array_distinct(F.expr(
         f"transform(sequence(1, greatest(length(__norm) - {n - 1}, 1)), "
         f"i -> substr(__norm, i, {n}))"))
@@ -311,7 +381,10 @@ def verified_near_dup_pairs(documents: DataFrame, text_col: str = "text",
              .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter")))
     sz_a = sizes.select(F.col(key_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(key_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    return (inter.join(F.broadcast(sz_a), "id_a").join(F.broadcast(sz_b), "id_b")
+    # no forced broadcast: sizes is one row per CANDIDATE doc (small after
+    # the semi-join), so Catalyst/AQE auto-broadcasts when it fits — but a
+    # forced broadcast would be wrong at 10^12-doc scale
+    return (inter.join(sz_a, "id_a").join(sz_b, "id_b")
             .withColumn("jaccard", F.round(
                 F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6))
             .where(F.col("jaccard") >= threshold)

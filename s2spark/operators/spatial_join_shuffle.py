@@ -113,7 +113,8 @@ def spatial_join_shuffle(spark: SparkSession, points: DataFrame,
                          n_salt: int = 8,
                          hot_threshold: int = 2_000_000,
                          point_key: str = "url",
-                         hot_sample_fraction: float = 0.001) -> DataFrame:
+                         hot_sample_fraction: float = 0.001,
+                         refine_salt: int = 16) -> DataFrame:
     """points (leaf cell_col + x,y,z) x polygons table -> (point rows,
     polygon_id) via shuffle hash join on covering cells with hot-cell
     salting, then grouped exact refine.
@@ -178,10 +179,23 @@ def spatial_join_shuffle(spark: SparkSession, points: DataFrame,
     interior = joined.where(F.col("is_interior")).drop("is_interior")
     exterior = joined.where(~F.col("is_interior")).drop("is_interior")
 
-    # exact refine: cogroup exterior matches with polygon vertices
+    # exact refine: cogroup exterior matches with polygon vertices.  The
+    # cogroup key is (polygon_id, salt), not polygon_id alone: a planet-scale
+    # probe side can put 10^9 skin-cell matches on ONE polygon (a big city
+    # boundary), and a single-key cogroup would funnel them into one pandas
+    # group on one task.  Salting splits the matches refine_salt ways; the
+    # (small) vertex side is replicated per salt, and the kernel is a pure
+    # per-row filter, so the output is identical.
     out_schema = StructType([f for f in exterior.schema.fields])
+    exterior = exterior.withColumn(
+        "__rs", F.pmod(F.xxhash64(F.col(point_key)), F.lit(refine_salt)).cast("int"))
+    polys_salted = (polygons_df
+                    .withColumn("__rs", F.explode(
+                        F.sequence(F.lit(0), F.lit(refine_salt - 1))))
+                    .withColumn("__rs", F.col("__rs").cast("int")))
 
     def refine(key, matches: pd.DataFrame, polys: pd.DataFrame) -> pd.DataFrame:
+        matches = matches.drop(columns=["__rs"])
         if len(matches) == 0 or len(polys) == 0:
             return matches.iloc[0:0]
         poly = _polygon_from_group(polys)
@@ -190,7 +204,7 @@ def spatial_join_shuffle(spark: SparkSession, points: DataFrame,
                                     matches["z"].to_numpy(np.float64))
         return matches[keep]
 
-    refined = (exterior.groupBy("polygon_id")
-               .cogroup(polygons_df.groupBy("polygon_id"))
+    refined = (exterior.groupBy("polygon_id", "__rs")
+               .cogroup(polys_salted.groupBy("polygon_id", "__rs"))
                .applyInPandas(refine, schema=out_schema))
     return interior.unionByName(refined)

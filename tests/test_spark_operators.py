@@ -270,3 +270,26 @@ def test_shuffle_join_skewed_hot_cell(spark, polygons):
     assert "xxhash64" in plan, "hot-cell salting did not activate under skew"
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_chunk_dedup(spark):
+    """Span dedup: first corpus occurrence of each chunk wins; fully-
+    duplicated docs survive with empty text (C4 semantics)."""
+    import pandas as pd
+    from s2spark.operators.dedup import chunk_dedup
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b c d e f",          # chunks: "a b c", "d e f"
+                 "a b c x y z",          # "a b c" dup -> dropped
+                 "A  B c D e F",         # normalizes to doc 0 -> all dup
+                 "short"]}))             # single sub-width chunk
+    out = {r["doc_id"]: r for r in
+           chunk_dedup(docs, chunk_words=3).toPandas().to_dict("records")}
+    assert out[0]["dedup_text"] == "a b c d e f"
+    assert (out[0]["n_chunks_kept"], out[0]["n_chunks_total"]) == (2, 2)
+    assert out[1]["dedup_text"] == "x y z"
+    assert (out[1]["n_chunks_kept"], out[1]["n_chunks_total"]) == (1, 2)
+    assert out[2]["dedup_text"] == ""
+    assert (out[2]["n_chunks_kept"], out[2]["n_chunks_total"]) == (0, 2)
+    assert out[3]["dedup_text"] == "short"
+    assert (out[3]["n_chunks_kept"], out[3]["n_chunks_total"]) == (1, 1)
