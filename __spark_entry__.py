@@ -387,12 +387,59 @@ def _q_chunk_dedup(spark, sf_dir):
     return dedup.chunk_dedup(_read(spark, sf_dir, "documents"), chunk_words=20)
 
 
+def _q_corpus_filter(spark, sf_dir):
+    """Incremental-ingest near-dup filter: docs >= 250 arrive against an
+    accepted corpus of docs < 250; arrivals sharing a MinHash band bucket
+    with a corpus doc at signature-estimate >= 0.5 are dropped.  Stream
+    form runs the identical operator per micro-batch
+    (streaming.neardup_stream)."""
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") < 250)
+    arrivals = docs.where(F.col("doc_id") >= 250)
+    index = dedup.build_corpus_index(corpus)
+    return (dedup.filter_near_dups_of_corpus(arrivals, index)
+            .select("doc_id"))
+
+
 def _q_cc_clusters(spark, sf_dir):
     """Near-dup clustering: LSH-verified pairs -> connected components
     (alternating large/small-star, O(log n) shuffle rounds) -> canonical
     min-id doc per cluster.  Every doc gets a row; singletons self-cluster."""
     return dedup.dedup_clusters(_read(spark, sf_dir, "documents"),
                                 n=5, num_hashes=16, bands=4, threshold=0.8)
+
+
+def _corpus_filter_oracle_sql(num_hashes: int = 16, bands: int = 4,
+                              n: int = 5, est_gate: float = 0.5,
+                              split_id: int = 250) -> str:
+    mins = _minhash_mins_sql(num_hashes)
+    rpb = num_hashes // bands
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {bnd} AS band, md5(concat_ws('_', "
+        + ", ".join(f"mh{bnd * rpb + r}::VARCHAR" for r in range(rpb))
+        + ")) AS bucket FROM sig"
+        for bnd in range(bands))
+    est_sum = " + ".join(
+        f"(CASE WHEN ga.mh{i} = gb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes))
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+sh AS (SELECT doc_id,
+       unnest(list_distinct([substr(t, i, {n}) for i in range(1, greatest(length(t) - {n - 1}, 1) + 1)])) AS s
+       FROM norm),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+buckets AS ({band_selects}),
+dup AS (
+  SELECT DISTINCT a.doc_id AS new_id
+  FROM buckets a JOIN buckets b USING (band, bucket)
+  JOIN sig ga ON ga.doc_id = a.doc_id
+  JOIN sig gb ON gb.doc_id = b.doc_id
+  WHERE a.doc_id >= {split_id} AND b.doc_id < {split_id}
+    AND ({est_sum}) / {num_hashes}.0 >= {est_gate}
+)
+SELECT doc_id FROM documents
+WHERE doc_id >= {split_id} AND doc_id NOT IN (SELECT new_id FROM dup)
+"""
 
 
 def _q_multimodal(spark, sf_dir):
@@ -559,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": _q_lsh_pairs,
         "dedup_verified_pairs": _q_verified_pairs,
         "dedup_cc_clusters": _q_cc_clusters,
+        "dedup_corpus_filter": _q_corpus_filter,
         "s2_tile_quantiles": _q_tile_quantiles,
         "text_chunk_dedup": _q_chunk_dedup,
         "multimodal_features": _q_multimodal,
@@ -1067,6 +1115,7 @@ FROM per_session GROUP BY user_id
         "dedup_lsh_pairs": _lsh_pairs_oracle_sql(),
         "dedup_verified_pairs": _verified_pairs_oracle_sql(),
         "dedup_cc_clusters": _cc_clusters_oracle_sql(),
+        "dedup_corpus_filter": _corpus_filter_oracle_sql(),
         "s2_tile_quantiles": encode_query(
             _DOCS_GEO_SQL,
             f"SELECT {sql_parent_for_level('cell_id', 4)} AS tile4, "

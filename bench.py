@@ -38,7 +38,8 @@ BENCH_QUERIES = [
     "s2_corridor_join",
     "s2_polyline_length", "s2_knn_join", "s2_boolean_pip",
     "dedup_exact", "dedup_minhash_signatures", "dedup_simhash",
-    "dedup_lsh_pairs", "dedup_verified_pairs", "multimodal_features",
+    "dedup_lsh_pairs", "dedup_verified_pairs", "dedup_corpus_filter",
+    "text_chunk_dedup", "s2_tile_quantiles", "multimodal_features",
     "text_quality", "text_langid", "text_fingerprint", "text_token_count",
     "similarity_bruteforce_topk", "similarity_lsh_topk",
     "similarity_ivf_topk",

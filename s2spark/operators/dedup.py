@@ -59,15 +59,46 @@ def perm_hash(col: Column, i: int) -> Column:
                   16, 10).cast("long")
 
 
+def with_minhash_signatures(documents: DataFrame, text_col: str = "text",
+                            num_hashes: int = 16, n: int = 5) -> DataFrame:
+    """Append mh0..mh{k-1} MinHash signature columns to `documents`
+    (all other columns preserved).
+
+    Computed MAP-ONLY: the distinct-grams array is built per row and each
+    signature component is array_min(transform(grams, hash_i)) — all JVM
+    higher-order functions, ZERO shuffle (the earlier explode+groupBy form
+    shuffled |corpus shingles| rows to recombine what was already
+    row-local).  Being stateless per row, the same expression also runs
+    unchanged on a structured stream (see streaming.neardup_stream)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    grams = F.array_distinct(F.expr(
+        f"transform(sequence(1, greatest(length(__mh_norm) - {n - 1}, 1)), "
+        f"i -> substr(__mh_norm, i, {n}))"))
+    # projection barriers: bind norm then the grams array to columns so the
+    # per-hash transforms share one evaluation instead of re-deriving them
+    df = (documents.withColumn("__mh_norm", norm)
+          .withColumn("__grams", grams))
+
+    def _mh(i):
+        # single-arg closure: a 2-arg lambda would make F.transform pass the
+        # ARRAY INDEX as the second argument, silently replacing i
+        return lambda g: perm_hash(g, i)
+
+    df = df.withColumns(
+        {f"mh{i}": F.array_min(F.transform(F.col("__grams"), _mh(i)))
+         for i in range(num_hashes)})
+    return df.drop("__mh_norm", "__grams")
+
+
 def minhash_signatures(documents: DataFrame, text_col: str = "text",
                        key_col: str = "doc_id", n: int = 5,
                        num_hashes: int = 16) -> DataFrame:
     """Per-doc MinHash signature: min over shingles of k independent
-    salted-md5 hashes (true permutation family; see perm_hash)."""
-    ex = _exploded_shingles(documents, text_col, key_col, n)
-    aggs = [F.min(perm_hash(F.col("shingle"), i)).alias(f"mh{i}")
-            for i in range(num_hashes)]
-    return ex.groupBy(key_col).agg(*aggs)
+    salted-md5 hashes (true permutation family; see perm_hash).
+    Map-only — see with_minhash_signatures."""
+    return with_minhash_signatures(
+        documents.select(F.col(key_col), F.col(text_col)),
+        text_col, num_hashes, n).drop(text_col)
 
 
 def minhash_lsh_buckets(documents: DataFrame, text_col: str = "text",
@@ -218,6 +249,64 @@ def chunk_dedup(documents: DataFrame, text_col: str = "text",
                     F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
                     F.coalesce("n_chunks_kept", F.lit(0)).alias("n_chunks_kept"),
                     "n_chunks_total"))
+
+
+def build_corpus_index(corpus: DataFrame, text_col: str = "text",
+                       key_col: str = "doc_id", n: int = 5,
+                       num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Static near-dup index over an accepted corpus: one row per (band,
+    bucket) a corpus doc occupies, carrying the doc's full signature array.
+
+    (band, bucket, corpus_id, corpus_sig).  At production scale this is a
+    materialized artifact written `bucketBy(band, bucket)` so the per-batch
+    probe join below runs without shuffling the corpus side."""
+    sig = minhash_signatures(corpus, text_col, key_col, n, num_hashes)
+    buckets = minhash_lsh_buckets(corpus, text_col, key_col, n, num_hashes,
+                                  bands, signatures=sig)
+    sig_arr = sig.select(
+        key_col,
+        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("corpus_sig"))
+    return (buckets.join(sig_arr, key_col)
+            .select("band", "bucket", F.col(key_col).alias("corpus_id"),
+                    "corpus_sig"))
+
+
+def filter_near_dups_of_corpus(new_docs: DataFrame, corpus_index: DataFrame,
+                               text_col: str = "text", key_col: str = "doc_id",
+                               n: int = 5, num_hashes: int = 16,
+                               bands: int = 4,
+                               est_gate: float = 0.5) -> DataFrame:
+    """Drop every `new_docs` row that is a probable near-duplicate of a doc
+    already in the corpus: its signature shares a band bucket with a corpus
+    doc AND the signature-match estimate reaches est_gate.
+
+    The incremental-ingest dedup shape (new crawl vs accepted corpus):
+    signatures and band buckets for the new side are MAP-ONLY expressions,
+    the probe is an equi-join on (band, bucket) — broadcastable when the
+    new batch is small, shuffle-free against a bucketBy(band,bucket) corpus
+    index otherwise — and survivors come from one left_anti join.  No
+    all-pairs comparison anywhere.  Band-bucket derivation mirrors
+    minhash_lsh_buckets bit-for-bit, so index and probe always agree."""
+    rows_per_band = num_hashes // bands
+    d = with_minhash_signatures(new_docs, text_col, num_hashes, n)
+    probes = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)]
+        probes.append(F.struct(F.lit(b).alias("band"),
+                               F.md5(F.concat_ws("_", *cols)).alias("bucket")))
+    pr = (d.withColumn(
+              "sig", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]))
+          .withColumn("p", F.explode(F.array(*probes)))
+          .select(F.col(key_col), F.col("p.band").alias("band"),
+                  F.col("p.bucket").alias("bucket"), "sig"))
+    est = F.aggregate(
+        F.zip_with("sig", "corpus_sig", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v) / float(num_hashes)
+    dup_ids = (pr.join(corpus_index, ["band", "bucket"])
+               .where(est >= est_gate)
+               .select(key_col).distinct())
+    return new_docs.join(dup_ids, key_col, "left_anti")
 
 
 def _edge_checksum(edges: DataFrame) -> tuple:
