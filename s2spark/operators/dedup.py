@@ -112,17 +112,18 @@ def minhash_lsh_buckets(documents: DataFrame, text_col: str = "text",
     sig = signatures if signatures is not None else \
         minhash_signatures(documents, text_col, key_col, n, num_hashes)
     rows_per_band = num_hashes // bands
-    out = []
+    # single explode pass, NOT a per-band union: with map-only signatures
+    # there is no exchange for Spark to reuse, so a 4-way union would
+    # re-evaluate every signature md5 once per band
+    probes = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}").cast("string")
                 for r in range(rows_per_band)]
-        out.append(sig.select(
-            F.col(key_col), F.lit(b).alias("band"),
-            F.md5(F.concat_ws("_", *cols)).alias("bucket")))
-    df = out[0]
-    for other in out[1:]:
-        df = df.unionByName(other)
-    return df
+        probes.append(F.struct(F.lit(b).alias("band"),
+                               F.md5(F.concat_ws("_", *cols)).alias("bucket")))
+    return (sig.withColumn("p", F.explode(F.array(*probes)))
+            .select(F.col(key_col), F.col("p.band").alias("band"),
+                    F.col("p.bucket").alias("bucket")))
 
 
 def minhash_candidate_pairs(documents: DataFrame, text_col: str = "text",
@@ -391,8 +392,11 @@ def dedup_clusters(documents: DataFrame, text_col: str = "text",
     near-dup removal pipeline shape at 100 TB: banded LSH bounds candidate
     generation, exact Jaccard prevents false drops, large/small-star
     bounds shuffle rounds at O(log n)."""
+    # persist: the pair set seeds BOTH the edge list and the node list of
+    # the CC loop (and the final doc join) — unpersisted, the whole
+    # LSH+verify pipeline would re-run once per consumer
     pairs = verified_near_dup_pairs(documents, text_col, key_col, n,
-                                    num_hashes, bands, threshold)
+                                    num_hashes, bands, threshold).persist()
     comp = connected_components(pairs, "id_a", "id_b")
     return (documents.select(F.col(key_col))
             .join(comp.withColumnRenamed("node", key_col), key_col, "left")
