@@ -271,6 +271,18 @@ def _q_corridor_join(spark, sf_dir):
                       F.round("distance_rad", 9).alias("dist_r"))
 
 
+def _q_nearest_track(spark, sf_dir):
+    """Map-matching: nearest corridor track per doc point (argmin over the
+    corridor candidates, ties to lowest track id)."""
+    from s2spark.operators.distance_ops import nearest_track_join
+    pts = C.with_cell_id(_docs_geo(spark, sf_dir), "lat", "lng")
+    out = nearest_track_join(
+        spark, pts.select("doc_id", "lat", "lng", "cell_id"),
+        _CORRIDOR_TRACKS, _CORRIDOR_RADIUS)
+    return out.select("doc_id", "track_id",
+                      F.round("distance_rad", 9).alias("dist_r"))
+
+
 def _q_polyline_project(spark, sf_dir):
     """Snap every doc point to the nearest edge of a fixed polyline
     (S2Polyline.GetNearestEdgeIndex + ProjectToEdge)."""
@@ -594,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_boolean_pip": _q_boolean_pip,
         "s2_buffered_join": _q_buffered_join,
         "s2_corridor_join": _q_corridor_join,
+        "s2_nearest_track": _q_nearest_track,
         "s2_rect_distance": _q_rect_distance,
         "s2_polyline_project": _q_polyline_project,
         "s2_polyline_length": _q_polyline_length,
@@ -918,6 +931,23 @@ def _corridor_join_oracle_sql() -> str:
             f"p AS (SELECT doc_id, lat, lng, {xyz} FROM src) {per_track}")
 
 
+def _nearest_track_oracle_sql() -> str:
+    from s2spark.operators.distance_ops import (XYZ_COLS_SQL,
+                                                polyline_distance_sql)
+    xyz = ", ".join(f"{v} AS {k}" for k, v in XYZ_COLS_SQL.items())
+    per_track = " UNION ALL ".join(
+        f"SELECT doc_id, {tid} AS track_id, "
+        f"round({polyline_distance_sql(track)}, 9) AS dist_r FROM p "
+        f"WHERE {polyline_distance_sql(track)} <= {_CORRIDOR_RADIUS!r}"
+        for tid, track in _CORRIDOR_TRACKS.items())
+    return (f"WITH src AS ({_DOCS_GEO_SQL}), "
+            f"p AS (SELECT doc_id, lat, lng, {xyz} FROM src), "
+            f"d AS ({per_track}), "
+            f"sel AS (SELECT doc_id, track_id, dist_r, row_number() OVER ("
+            f"PARTITION BY doc_id ORDER BY dist_r, track_id) AS rn FROM d) "
+            f"SELECT doc_id, track_id, dist_r FROM sel WHERE rn = 1")
+
+
 def _rect_distance_oracle_sql() -> str:
     from s2spark.operators.distance_ops import XYZ_COLS_SQL, rect_distance_sql
     xyz = ", ".join(f"{v} AS {k}" for k, v in XYZ_COLS_SQL.items())
@@ -1079,6 +1109,7 @@ def oracle_sql() -> dict[str, str]:
                 for cid, b in _QUERY_CAPS.items())),
         "s2_buffered_join": _buffered_join_oracle_sql(),
         "s2_corridor_join": _corridor_join_oracle_sql(),
+        "s2_nearest_track": _nearest_track_oracle_sql(),
         "s2_rect_distance": _rect_distance_oracle_sql(),
         "s2_polyline_project": _polyline_project_oracle(),
         "s2_polyline_length": f"""

@@ -356,3 +356,28 @@ def corridor_join(spark, pts: DataFrame,
     return (cand.withColumn("distance_rad", residual)
             .where(F.col("distance_rad") <= radius_rad)
             .drop("px", "py", "pz", "probe_cell", "cov_cell", "cov_level"))
+
+
+def nearest_track_join(spark, pts: DataFrame,
+                       tracks: dict[int, list[tuple[float, float]]],
+                       radius_rad: float, coverer_max_cells: int = 16,
+                       max_level_diff: int = 4,
+                       point_key: str = "doc_id") -> DataFrame:
+    """Map-matching assignment: each point within radius_rad of at least
+    one track is assigned its NEAREST track (the distributed form of
+    S2Polyline.GetNearestEdgeIndex across a track SET — "which road is this
+    page about").
+
+    Plan: corridor_join candidates (broadcast covering equi-join — the
+    points never shuffle) -> per-point argmin window (ONE shuffle on the
+    point key).  Ties break to the lowest track id; the ordering uses the
+    distance rounded to 1e-9 rad (~6 µm) so the argmin is stable across
+    FP summation orders (and reproducible in the SQL oracle)."""
+    from pyspark.sql.window import Window
+
+    cand = corridor_join(spark, pts, tracks, radius_rad,
+                         coverer_max_cells, max_level_diff)
+    w = Window.partitionBy(point_key).orderBy(
+        F.round(F.col("distance_rad"), 9).asc(), F.col("track_id").asc())
+    return (cand.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))

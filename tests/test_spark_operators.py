@@ -293,3 +293,20 @@ def test_chunk_dedup(spark):
     assert (out[2]["n_chunks_kept"], out[2]["n_chunks_total"]) == (0, 2)
     assert out[3]["dedup_text"] == "short"
     assert (out[3]["n_chunks_kept"], out[3]["n_chunks_total"]) == (1, 1)
+
+
+def test_nearest_track_join(spark):
+    """Points near two tracks get the closer one; out-of-radius points drop."""
+    import pandas as pd
+    from s2spark.operators.distance_ops import nearest_track_join
+    # track 1: equator segment at lng 0..10; track 2: lat 1 deg north of it
+    tracks = {1: [(0.0, 0.0), (0.0, 10.0)],
+              2: [(1.0, 0.0), (1.0, 10.0)]}
+    pts = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "lat": [0.2, 0.9, 45.0],      # near t1, near t2, far from both
+        "lng": [5.0, 5.0, 5.0]}))
+    pts = C.with_cell_id(pts, "lat", "lng")
+    out = {r["doc_id"]: r["track_id"] for r in
+           nearest_track_join(spark, pts, tracks, radius_rad=0.1).collect()}
+    assert out == {1: 1, 2: 2}
