@@ -283,6 +283,21 @@ def _q_nearest_track(spark, sf_dir):
                       F.round("distance_rad", 9).alias("dist_r"))
 
 
+_FRAC_SQL = "((doc_id * 31) % 101) / 100.0"
+
+
+def _q_polyline_interpolate(spark, sf_dir):
+    """S2Polyline.Interpolate at a per-doc fraction along the fixed track:
+    constant-folded slerp CASE chain, map-only (no shuffle, no Python)."""
+    from s2spark.operators.distance_ops import polyline_interpolate_sql
+    lat_sql, lng_sql = polyline_interpolate_sql(_PROJECT_TRACK, "frac")
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_FRAC_SQL).alias("frac"))
+    return docs.select("doc_id",
+                       F.round(F.expr(lat_sql), 6).alias("ip_lat"),
+                       F.round(F.expr(lng_sql), 6).alias("ip_lng"))
+
+
 def _q_polyline_project(spark, sf_dir):
     """Snap every doc point to the nearest edge of a fixed polyline
     (S2Polyline.GetNearestEdgeIndex + ProjectToEdge)."""
@@ -609,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_nearest_track": _q_nearest_track,
         "s2_rect_distance": _q_rect_distance,
         "s2_polyline_project": _q_polyline_project,
+        "s2_polyline_interpolate": _q_polyline_interpolate,
         "s2_polyline_length": _q_polyline_length,
         "s2_knn_join": _q_knn,
         "events_sessionization": _q_event_sessions,
@@ -948,6 +964,14 @@ def _nearest_track_oracle_sql() -> str:
             f"SELECT doc_id, track_id, dist_r FROM sel WHERE rn = 1")
 
 
+def _polyline_interpolate_oracle_sql() -> str:
+    from s2spark.operators.distance_ops import polyline_interpolate_sql
+    lat_sql, lng_sql = polyline_interpolate_sql(_PROJECT_TRACK, "frac")
+    return (f"WITH f AS (SELECT doc_id, {_FRAC_SQL} AS frac FROM documents) "
+            f"SELECT doc_id, round({lat_sql}, 6) AS ip_lat, "
+            f"round({lng_sql}, 6) AS ip_lng FROM f")
+
+
 def _rect_distance_oracle_sql() -> str:
     from s2spark.operators.distance_ops import XYZ_COLS_SQL, rect_distance_sql
     xyz = ", ".join(f"{v} AS {k}" for k, v in XYZ_COLS_SQL.items())
@@ -1110,6 +1134,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_buffered_join": _buffered_join_oracle_sql(),
         "s2_corridor_join": _corridor_join_oracle_sql(),
         "s2_nearest_track": _nearest_track_oracle_sql(),
+        "s2_polyline_interpolate": _polyline_interpolate_oracle_sql(),
         "s2_rect_distance": _rect_distance_oracle_sql(),
         "s2_polyline_project": _polyline_project_oracle(),
         "s2_polyline_length": f"""

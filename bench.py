@@ -36,7 +36,8 @@ BENCH_QUERIES = [
     "s2_containment_ranges", "s2_rect_query", "s2_cap_query",
     "s2_rect_distance", "s2_polyline_project", "s2_buffered_join",
     "s2_corridor_join", "s2_nearest_track",
-    "s2_polyline_length", "s2_knn_join", "s2_boolean_pip",
+    "s2_polyline_length", "s2_polyline_interpolate", "s2_knn_join",
+    "s2_boolean_pip",
     "dedup_exact", "dedup_minhash_signatures", "dedup_simhash",
     "dedup_lsh_pairs", "dedup_verified_pairs", "dedup_corpus_filter",
     "text_chunk_dedup", "s2_tile_quantiles", "multimodal_features",

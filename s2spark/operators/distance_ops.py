@@ -381,3 +381,46 @@ def nearest_track_join(spark, pts: DataFrame,
         F.round(F.col("distance_rad"), 9).asc(), F.col("track_id").asc())
     return (cand.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1).drop("__rn"))
+
+
+def polyline_interpolate_sql(latlngs_deg: list[tuple[float, float]],
+                             frac_col: str = "frac") -> tuple[str, str]:
+    """SQL text pair (lat_expr, lng_expr): S2Polyline.Interpolate over a
+    CONSTANT polyline with a per-row `frac_col` column — edge lengths and
+    cumulative offsets constant-fold at plan build, so the runtime work is
+    one CASE chain of slerps (S2Polyline.cs:246-266: walk edges until the
+    target arc length lands inside one, then sin-weighted slerp).
+
+    The same text runs as a Spark Column (F.expr) and as the DuckDB oracle;
+    callers round outputs (libm sin/cos may differ in the last ulp)."""
+    verts = [_xyz(math.radians(la), math.radians(ln)) for la, ln in latlngs_deg]
+
+    def _ang(a, b):
+        c = _cross(a, b)
+        return math.atan2(math.sqrt(c[0] * c[0] + c[1] * c[1] + c[2] * c[2]),
+                          a[0] * b[0] + a[1] * b[1] + a[2] * b[2])
+
+    lengths = [_ang(verts[i], verts[i + 1]) for i in range(len(verts) - 1)]
+    total = sum(lengths)
+    t = f"(({frac_col}) * {total!r})"
+    comps = {0: [], 1: [], 2: []}  # per-coordinate CASE branches
+    cum = 0.0
+    for i, ln in enumerate(lengths):
+        a, b = verts[i], verts[i + 1]
+        ti = f"({t} - {cum!r})"
+        fi = f"(sin({ti}) / {math.sin(ln)!r})"
+        axi = f"(cos({ti}) - {fi} * {math.cos(ln)!r})"
+        cum += ln
+        cond = f"{t} < {cum!r}"
+        for k in range(3):
+            comps[k].append(f"WHEN {cond} THEN ({axi} * {a[k]!r} + {fi} * {b[k]!r})")
+    last = verts[-1]
+    raw = {}
+    for k in range(3):
+        first = f"WHEN ({frac_col}) <= 0 THEN {verts[0][k]!r}"
+        raw[k] = ("(CASE " + first + " " + " ".join(comps[k])
+                  + f" ELSE {last[k]!r} END)")
+    # lat/lng via atan2 — scale-invariant, so no normalization needed
+    lat = f"degrees(atan2({raw[2]}, sqrt({raw[0]}*{raw[0]} + {raw[1]}*{raw[1]})))"
+    lng = f"degrees(atan2({raw[1]}, {raw[0]}))"
+    return lat, lng

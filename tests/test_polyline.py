@@ -146,3 +146,31 @@ def test_project_reference_goldens():
         proj = line.project_to_edge(*q, idx)
         assert idx == eidx
         assert _approx(proj, pt(elat, elng), 1e-9)
+
+
+def test_interpolate_sql_matches_kernel():
+    """Constant-folded slerp CASE chain == kernel Polyline.interpolate."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from s2spark.kernel import cellid as ci
+    from s2spark.kernel.polyline import Polyline
+    from s2spark.operators.distance_ops import polyline_interpolate_sql
+
+    track = [(0.0, 0.0), (10.0, 10.0), (10.0, 20.0), (-5.0, 30.0)]
+    verts = np.stack([np.array(ci.xyz_from_latlng_deg(
+        np.array([la]), np.array([ln]))).reshape(3) for la, ln in track])
+    pl = Polyline(verts)
+    lat_sql, lng_sql = polyline_interpolate_sql(track, "frac")
+    con = duckdb.connect()
+    for frac in [0.0, 0.001, 0.17, 0.5, 0.62, 0.99, 1.0]:
+        got_lat, got_lng = con.execute(
+            f"SELECT {lat_sql}, {lng_sql} FROM (SELECT {frac!r} AS frac)"
+        ).fetchone()
+        x, y, z = pl.interpolate(frac)
+        exp_lat = math.degrees(math.atan2(z, math.hypot(x, y)))
+        exp_lng = math.degrees(math.atan2(y, x))
+        assert abs(got_lat - exp_lat) < 1e-9, frac
+        assert abs(got_lng - exp_lng) < 1e-9, frac
