@@ -105,3 +105,31 @@ def test_bucketed_sorted_within_files(spark, bucketed):
                              F.input_file_name().alias("__f")).rdd
              .mapPartitions(check).collect())
     assert all(f[0] for f in flags)
+
+
+def test_bucketed_corpus_index_probe_join(spark):
+    """The near-dup corpus index written bucketBy(band, bucket) joins with
+    arriving batches WITHOUT re-shuffling the index side — the write-once,
+    probe-per-batch layout for a planet-scale accepted corpus."""
+    from s2spark.operators.dedup import (build_corpus_index,
+                                         filter_near_dups_of_corpus)
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_corpus_index(corpus)
+    (idx.write.bucketBy(8, "band", "bucket").sortBy("band", "bucket")
+     .mode("overwrite").saveAsTable("corpus_idx_bucketed"))
+    bidx = spark.table("corpus_idx_bucketed")
+
+    arrivals = (corpus.where(F.col("doc_id") < 100)
+                .select((F.col("doc_id") + 10_000).alias("doc_id"), "text"))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out_b = filter_near_dups_of_corpus(arrivals, bidx)
+        out_p = filter_near_dups_of_corpus(arrivals, idx)
+        kept_b = sorted(r["doc_id"] for r in out_b.select("doc_id").collect())
+        kept_p = sorted(r["doc_id"] for r in out_p.select("doc_id").collect())
+        assert kept_b == kept_p  # layout never changes results
+        assert _exchanges_in(out_b) < _exchanges_in(out_p), \
+            "bucketed index did not elide its shuffle"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
