@@ -159,3 +159,34 @@ def test_streaming_tile_counts(spark, tmp_path):
     b = batch.sort_values("tile_id").reset_index(drop=True)
     assert g["tile_id"].tolist() == b["tile_id"].tolist()
     assert g["n_pages"].tolist() == b["n_pages"].tolist()
+
+
+def test_snapshot_time_travel_and_rollback(spark, tmp_path):
+    """Iceberg-style snapshot log: ids, time travel by id/timestamp,
+    append-only rollback changing what resume replays."""
+    from s2spark.plans.checkpoint import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "snaps"))
+    store.resume_or_compute(spark, "stage", lambda: spark.range(3))
+    # force a second snapshot of the same stage (re-run after a change)
+    v1 = store.snapshots("stage")[0]
+    p2 = str(tmp_path / "v2")
+    spark.range(10).write.parquet(p2)
+    store.commit("stage", p2, 10, schema="struct<id:bigint>")
+
+    snaps = store.snapshots("stage")
+    assert [s["snapshot_id"] for s in snaps] == [1, 2]
+    assert snaps[1]["schema"] == "struct<id:bigint>"
+
+    # current = latest; time travel by id and by timestamp
+    assert store.read_snapshot(spark, "stage").count() == 10
+    assert store.read_snapshot(spark, "stage", snapshot_id=1).count() == 3
+    assert store.read_snapshot(spark, "stage",
+                               as_of_ts=v1["ts"]).count() == 3
+
+    # rollback: resume now replays snapshot 1; history is preserved
+    store.rollback("stage", 1)
+    resumed = store.resume_or_compute(
+        spark, "stage", lambda: (_ for _ in ()).throw(AssertionError))
+    assert resumed.count() == 3
+    assert [s["snapshot_id"] for s in store.snapshots("stage")] == [1, 2]
