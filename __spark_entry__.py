@@ -521,6 +521,12 @@ def _q_repetition(spark, sf_dir):
                                       n_words=3)
 
 
+def _q_entropy(spark, sf_dir):
+    """Word-distribution Shannon entropy per doc (repetition/quality
+    signal: template spam scores low)."""
+    return textstats.word_entropy(_read(spark, sf_dir, "documents"))
+
+
 def _q_domain_stats(spark, sf_dir):
     return textstats.domain_stats(_read(spark, sf_dir, "documents"))
 
@@ -592,6 +598,21 @@ def _q_events_daily(spark, sf_dir):
                  F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value")))
 
 
+def _q_events_retention(spark, sf_dir):
+    """Next-day retention per day: of the users active on day D, how many
+    were also active on D+1.  One distinct + one co-partitioned semi-join
+    keyed on (day, user) — partial-aggregated shuffles only."""
+    ev = _read(spark, sf_dir, "events")
+    act = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    nxt = act.select(F.date_sub("day", 1).alias("day"), "user_id")
+    per_day = act.groupBy("day").agg(F.count(F.lit(1)).alias("n_active"))
+    ret = (act.join(nxt, ["day", "user_id"], "semi")
+           .groupBy("day").agg(F.count(F.lit(1)).alias("n_retained")))
+    return (per_day.join(ret, ["day"], "left")
+            .select("day", "n_active",
+                    F.coalesce("n_retained", F.lit(0)).alias("n_retained")))
+
+
 def _q_knn(spark, sf_dir):
     """Neighbor-ring kNN join: 16 query docs -> 3 nearest other docs."""
     from s2spark.operators.knn import knn_join
@@ -648,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontamination": _q_decontamination,
         "text_repetition": _q_repetition,
         "text_domain_stats": _q_domain_stats,
+        "text_entropy": _q_entropy,
         "corpus_sample_stratified": _q_stratified_sample,
         "similarity_bruteforce_topk": _q_sim_bruteforce,
         "similarity_lsh_topk": _q_sim_lsh,
@@ -655,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats": _q_embedding_stats,
         "relational_revenue_by_nation": _q_revenue,
         "events_daily_agg": _q_events_daily,
+        "events_retention": _q_events_retention,
     }
 
 
@@ -1204,6 +1227,15 @@ SELECT w.doc_id, coalesce(asm.dedup_text, '') AS dedup_text,
        w.n_total AS n_chunks_total
 FROM w LEFT JOIN asm USING (doc_id)
 """,
+        "text_entropy": f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm),
+wc AS (SELECT doc_id, w, count(*)::DOUBLE AS c FROM tok GROUP BY doc_id, w),
+agg AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+        sum(c * log2(c)) AS clogc FROM wc GROUP BY doc_id)
+SELECT doc_id, n_words::BIGINT AS n_words, n_distinct,
+       round(log2(n_words) - clogc / n_words, 6) AS entropy_bits FROM agg
+""",
         "multimodal_features": _multimodal_oracle_sql(),
         "similarity_lsh_topk": _lsh_topk_oracle_sql(),
         "similarity_ivf_topk": _ivf_topk_oracle_sql(),
@@ -1266,6 +1298,17 @@ SELECT CAST(ts AS DATE) AS day, event_type,
        count(DISTINCT user_id) AS n_users,
        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "events_retention": """
+WITH act AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+nxt AS (SELECT day - INTERVAL 1 DAY AS day, user_id FROM act),
+per_day AS (SELECT day, count(*) AS n_active FROM act GROUP BY day),
+ret AS (SELECT a.day, count(*) AS n_retained FROM act a
+        WHERE EXISTS (SELECT 1 FROM nxt n
+                      WHERE n.day = a.day AND n.user_id = a.user_id)
+        GROUP BY a.day)
+SELECT p.day, p.n_active, coalesce(r.n_retained, 0) AS n_retained
+FROM per_day p LEFT JOIN ret r USING (day)
 """,
         "s2_knn_join": f"""
 WITH src AS ({_DOCS_GEO_SQL}),

@@ -45,8 +45,9 @@ BENCH_QUERIES = [
     "similarity_bruteforce_topk", "similarity_lsh_topk",
     "similarity_ivf_topk",
     "similarity_near_dup_pairs",
+    "text_entropy",
     "relational_revenue_by_nation", "events_daily_agg",
-    "events_sessionization",
+    "events_retention", "events_sessionization",
 ]
 
 

@@ -213,3 +213,28 @@ def stratified_sample(documents: DataFrame, rates: dict[str, int],
             .withColumn("sample_bucket", bucket)
             .where(F.col("sample_bucket") < pct)
             .select(key_col, strat_col, "sample_bucket"))
+
+
+def word_entropy(documents: DataFrame, text_col: str = "text",
+                 key_col: str = "doc_id") -> DataFrame:
+    """Shannon entropy (bits) of each document's word distribution — the
+    classic repetition/quality signal: template spam and keyword-stuffed
+    pages score low, natural prose scores near log2(vocab).
+
+    Plan: token explode -> (doc, word) count -> per-doc
+    -sum(p*log2(p)) — two partial-aggregated shuffles keyed on doc id,
+    all JVM expressions.  Output: (key, n_words, n_distinct, entropy_bits).
+    """
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                    r"\s+", " "), " ")
+    ex = documents.select(F.col(key_col), F.explode(toks).alias("w"))
+    wc = ex.groupBy(key_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = wc.groupBy(key_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * F.log2(F.col("c").cast("double"))).alias("__clogc"))
+    # H = log2(N) - (1/N) * sum(c * log2 c)
+    return per_doc.select(
+        key_col, "n_words", "n_distinct",
+        F.round(F.log2(F.col("n_words").cast("double"))
+                - F.col("__clogc") / F.col("n_words"), 6).alias("entropy_bits"))
