@@ -458,26 +458,29 @@ def verified_near_dup_pairs(documents: DataFrame, text_col: str = "text",
                 .unionByName(pairs.select(F.col("id_b").alias(key_col)))
                 .distinct())
     docs_cand = documents.join(cand_ids, key_col, "semi")
-    ex = _exploded_shingles(docs_cand, text_col, key_col, n)
-    # |distinct shingles| per doc: a map-only expression (size of the same
-    # distinct-grams array _exploded_shingles builds) — no explode/shuffle
+    # Exact verify as a per-pair array intersection: each candidate doc's
+    # distinct-gram ARRAY (map-only expression) joins to its pairs, and
+    # n_inter = size(array_intersect(ga, gb)) — identical to counting
+    # shared exploded shingles, but with no 100M-row (pair x shingle)
+    # shuffle join and no separate per-doc size table (sizes are just
+    # size(g)).  Shuffle volume is pairs x gram-array payload; on template
+    # corpora (dense candidates) this beats the inverted-index join, and
+    # with rare candidates both are small.
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    tmp = docs_cand.select(F.col(key_col), norm.alias("__norm"))
     grams = F.array_distinct(F.expr(
         f"transform(sequence(1, greatest(length(__norm) - {n - 1}, 1)), "
         f"i -> substr(__norm, i, {n}))"))
-    sizes = tmp.select(F.col(key_col), F.size(grams).alias("sz"))
-    ea = ex.select(F.col(key_col).alias("id_a"), "shingle")
-    eb = ex.select(F.col(key_col).alias("id_b"), "shingle")
-    inter = (pairs.join(ea, "id_a")                  # shingles of a, per pair
-             .join(eb, ["id_b", "shingle"])          # kept iff also in b
-             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter")))
-    sz_a = sizes.select(F.col(key_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col(key_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    # no forced broadcast: sizes is one row per CANDIDATE doc (small after
-    # the semi-join), so Catalyst/AQE auto-broadcasts when it fits — but a
-    # forced broadcast would be wrong at 10^12-doc scale
-    return (inter.join(sz_a, "id_a").join(sz_b, "id_b")
+    gdf = (docs_cand.select(F.col(key_col), norm.alias("__norm"))
+           .select(F.col(key_col), grams.alias("g")))
+    scored = (pairs
+              .join(gdf.select(F.col(key_col).alias("id_a"),
+                               F.col("g").alias("ga")), "id_a")
+              .join(gdf.select(F.col(key_col).alias("id_b"),
+                               F.col("g").alias("gb")), "id_b")
+              .select("id_a", "id_b",
+                      F.size(F.array_intersect("ga", "gb")).alias("n_inter"),
+                      F.size("ga").alias("sz_a"), F.size("gb").alias("sz_b")))
+    return (scored
             .withColumn("jaccard", F.round(
                 F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6))
             .where(F.col("jaccard") >= threshold)
