@@ -49,6 +49,16 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the scan fanned out across cores.  The sf test tables
+    are single small parquet files — one scan task — which would serialize
+    the map-side md5/explode work that dominates the dedup/text family.
+    Production inputs are many-file; the explicit repartition is a local
+    test-data artifact, not part of the operators."""
+    return _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+
+
 # spatial-join query polygons: convex fixtures whose SQL oracle is an
 # AND-chain of triple-product signs (convexity makes the exact test
 # SQL-expressible; the Spark side still runs the full covering+parity join)
@@ -360,29 +370,29 @@ def _q_boolean_pip(spark, sf_dir):
 
 
 def _q_dedup_exact(spark, sf_dir):
-    return dedup.exact_dedup(_read(spark, sf_dir, "documents"))
+    return dedup.exact_dedup(_docs_par(spark, sf_dir))
 
 
 def _q_minhash(spark, sf_dir):
-    return dedup.minhash_signatures(_read(spark, sf_dir, "documents"),
+    return dedup.minhash_signatures(_docs_par(spark, sf_dir),
                                     num_hashes=8)
 
 
 def _q_simhash(spark, sf_dir):
-    return dedup.simhash(_read(spark, sf_dir, "documents"), bits=16)
+    return dedup.simhash(_docs_par(spark, sf_dir), bits=16)
 
 
 def _q_jaccard(spark, sf_dir):
     # df_cap=500: stop-shingles shared by >500 docs leave the intersection
     # join (sizes stay exact) — the documented lower-bound tradeoff that
     # keeps the self-join linear-ish on template-heavy corpora
-    return dedup.ngram_jaccard_pairs(_read(spark, sf_dir, "documents"),
+    return dedup.ngram_jaccard_pairs(_docs_par(spark, sf_dir),
                                      n=8, threshold=0.35, df_cap=500)
 
 
 def _q_verified_pairs(spark, sf_dir):
     return dedup.verified_near_dup_pairs(
-        _read(spark, sf_dir, "documents"), n=5, num_hashes=16, bands=4,
+        _docs_par(spark, sf_dir), n=5, num_hashes=16, bands=4,
         threshold=0.8)
 
 
@@ -390,7 +400,7 @@ def _q_lsh_pairs(spark, sf_dir):
     """MinHash-LSH candidate pairs: the banded bucket join that replaces
     all-pairs comparison at scale."""
     return dedup.minhash_candidate_pairs(
-        _read(spark, sf_dir, "documents"), n=5, num_hashes=8, bands=4)
+        _docs_par(spark, sf_dir), n=5, num_hashes=8, bands=4)
 
 
 def _q_tile_quantiles(spark, sf_dir):
@@ -411,7 +421,7 @@ def _q_chunk_dedup(spark, sf_dir):
     """C4/RefinedWeb-style span dedup: 20-word chunks, first corpus
     occurrence wins, surviving text reassembled per doc (map-only chunking,
     one min-struct agg on chunk digest — no self-join)."""
-    return dedup.chunk_dedup(_read(spark, sf_dir, "documents"), chunk_words=20)
+    return dedup.chunk_dedup(_docs_par(spark, sf_dir), chunk_words=20)
 
 
 def _q_corpus_filter(spark, sf_dir):
@@ -420,7 +430,11 @@ def _q_corpus_filter(spark, sf_dir):
     with a corpus doc at signature-estimate >= 0.5 are dropped.  Stream
     form runs the identical operator per micro-batch
     (streaming.neardup_stream)."""
-    docs = _read(spark, sf_dir, "documents")
+    # repartition: the sf test tables are single parquet files, which would
+    # pin the map-only signature hashing (the dominant cost) to ONE task;
+    # production inputs are many-file and never need this
+    par = spark.sparkContext.defaultParallelism
+    docs = _read(spark, sf_dir, "documents").repartition(par)
     corpus = docs.where(F.col("doc_id") < 250)
     arrivals = docs.where(F.col("doc_id") >= 250)
     index = dedup.build_corpus_index(corpus)
@@ -432,7 +446,7 @@ def _q_cc_clusters(spark, sf_dir):
     """Near-dup clustering: LSH-verified pairs -> connected components
     (alternating large/small-star, O(log n) shuffle rounds) -> canonical
     min-id doc per cluster.  Every doc gets a row; singletons self-cluster."""
-    return dedup.dedup_clusters(_read(spark, sf_dir, "documents"),
+    return dedup.dedup_clusters(_docs_par(spark, sf_dir),
                                 n=5, num_hashes=16, bands=4, threshold=0.8)
 
 
@@ -524,7 +538,7 @@ def _q_repetition(spark, sf_dir):
 def _q_entropy(spark, sf_dir):
     """Word-distribution Shannon entropy per doc (repetition/quality
     signal: template spam scores low)."""
-    return textstats.word_entropy(_read(spark, sf_dir, "documents"))
+    return textstats.word_entropy(_docs_par(spark, sf_dir))
 
 
 def _q_domain_stats(spark, sf_dir):
