@@ -44,6 +44,16 @@ class Cap:
     def from_axis_height(axis: tuple[float, float, float], height: float) -> "Cap":
         return Cap(axis, height)
 
+    @staticmethod
+    def from_axis_area(axis: tuple[float, float, float], area: float) -> "Cap":
+        """Cap with the given surface area (S2Cap.cs:307-311: h = A/2π)."""
+        return Cap(axis, area / (2 * math.pi))
+
+    @property
+    def area(self) -> float:
+        """Surface area 2π·h (S2Cap.cs:66-69; 0 for empty caps)."""
+        return 2 * math.pi * max(0.0, self.height)
+
     @property
     def is_empty(self) -> bool:
         return self.height < 0

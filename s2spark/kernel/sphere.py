@@ -53,6 +53,25 @@ def angle(ax, ay, az, bx, by, bz):
     return np.arctan2(norm(cx, cy, cz), dot(ax, ay, az, bx, by, bz))
 
 
+def interior_angle(ax, ay, az, bx, by, bz, cx, cy, cz):
+    """Angle ABC at vertex B: angle between planes AB and CB
+    (S2.cs:735-738: CrossProd(a,b).Angle(CrossProd(c,b)))."""
+    ux, uy, uz = cross(ax, ay, az, bx, by, bz)
+    vx, vy, vz = cross(cx, cy, cz, bx, by, bz)
+    return angle(ux, uy, uz, vx, vy, vz)
+
+
+def turn_angle(ax, ay, az, bx, by, bz, cx, cy, cz):
+    """Exterior (turn) angle at vertex B, positive iff ABC is CCW; computed
+    with all three cross products so turn(a,b,c) == -turn(c,b,a) exactly
+    (S2.cs:753-759)."""
+    ux, uy, uz = cross(bx, by, bz, ax, ay, az)
+    vx, vy, vz = cross(cx, cy, cz, bx, by, bz)
+    out = angle(ux, uy, uz, vx, vy, vz)
+    ccw = robust_ccw(ax, ay, az, bx, by, bz, cx, cy, cz)
+    return np.where(ccw > 0, out, -out)
+
+
 def robust_cross_prod(ax, ay, az, bx, by, bz):
     """(b+a) x (b-a): orthogonal to a,b even when nearly (anti)parallel
     (S2.cs:209-230).  Zero-result fallback to Ortho(a) handled per-row."""

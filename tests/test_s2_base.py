@@ -221,3 +221,53 @@ def test_uv_norms():
             vn = np.array(_get_v_norm(face, float(x)))
             cosang = float(np.dot(n, vn) / (np.linalg.norm(n) * np.linalg.norm(vn)))
             assert abs(cosang - 1.0) < 1e-12
+
+
+def test_interior_and_turn_angle():
+    """S2Test.cs:60-71 Angle goldens + TurnAngle antisymmetry law."""
+    import math
+
+    import numpy as np
+
+    from s2spark.kernel import sphere
+
+    pz = (0.0, 0.0, 1.0)
+    p000 = (1.0, 0.0, 0.0)
+    p045 = (1.0, 1.0, 0.0)
+    p090 = (0.0, 1.0, 0.0)
+    p180 = (-1.0, 0.0, 0.0)
+
+    def ang(a, b, c):
+        return float(sphere.interior_angle(*a, *b, *c))
+
+    assert abs(ang(p000, pz, p045) - math.pi / 4) < 1e-12
+    assert abs(ang(p045, pz, p180) - 3 * math.pi / 4) < 1e-12
+    assert abs(ang(p000, pz, p180) - math.pi) < 1e-12
+    assert abs(ang(pz, p000, pz)) < 1e-12
+    assert abs(ang(pz, p000, p045) - math.pi / 2) < 1e-12
+
+    # turn angle: positive iff CCW, and turn(a,b,c) == -turn(c,b,a) exactly
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        v = rng.normal(size=(3, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        a, b, c = (tuple(map(float, row)) for row in v)
+        t1 = float(sphere.turn_angle(*a, *b, *c))
+        t2 = float(sphere.turn_angle(*c, *b, *a))
+        assert t1 == -t2
+        from s2spark.kernel.sphere import robust_ccw
+        assert (t1 > 0) == (int(robust_ccw(*a, *b, *c)) > 0)
+
+
+def test_cap_area_constructors():
+    """S2Cap area/FromAxisArea round-trip (S2Cap.cs:66-69, 307-311)."""
+    import math
+
+    from s2spark.kernel.cap import Cap
+
+    axis = (1.0, 0.0, 0.0)
+    for area in [0.1, math.pi, 2 * math.pi, 4 * math.pi]:
+        cap = Cap.from_axis_area(axis, area)
+        assert abs(cap.area - area) < 1e-12
+    assert Cap.empty().area == 0.0
+    assert abs(Cap.full().area - 4 * math.pi) < 1e-12
