@@ -811,10 +811,11 @@ cand AS (SELECT c.id_a, c.id_b FROM cand0 c
          JOIN sig gb ON gb.doc_id = c.id_b
          WHERE ({est_sum}) / {float(num_hashes)} >= {est_gate}),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+inter AS (SELECT c.id_a, c.id_b, count(DISTINCT a.h) AS n_inter
           FROM cand c
-          JOIN sh a ON a.doc_id = c.id_a
-          JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+          JOIN hs a ON a.doc_id = c.id_a
+          JOIN hs b ON b.doc_id = c.id_b AND b.h = a.h
           GROUP BY 1, 2)
 SELECT i.id_a, i.id_b,
        round(i.n_inter / (sa.sz + sb.sz - i.n_inter), 6) AS jaccard

@@ -470,8 +470,18 @@ def verified_near_dup_pairs(documents: DataFrame, text_col: str = "text",
     grams = F.array_distinct(F.expr(
         f"transform(sequence(1, greatest(length(__norm) - {n - 1}, 1)), "
         f"i -> substr(__norm, i, {n}))"))
+    # ship 60-bit md5 gram hashes, not gram strings: the pair join below
+    # duplicates each doc's gram payload once per pair it appears in, so
+    # payload width drives the dominant shuffle (8B/gram vs ~25B/gram).
+    # Distinct within a doc is computed on the STRINGS first; a 60-bit
+    # cross-gram collision (p ~ 1e-12/doc) is mirrored bit-for-bit by the
+    # DuckDB oracle, which hashes the same way.  persist(): both join
+    # branches read the same small table instead of re-deriving it.
+    ghashed = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"))
     gdf = (docs_cand.select(F.col(key_col), norm.alias("__norm"))
-           .select(F.col(key_col), grams.alias("g")))
+           .select(F.col(key_col), ghashed.alias("g")).persist())
     scored = (pairs
               .join(gdf.select(F.col(key_col).alias("id_a"),
                                F.col("g").alias("ga")), "id_a")
