@@ -75,32 +75,53 @@ def build_coverings_distributed(polygons_df: DataFrame, max_cells: int = 64,
     coverer run per polygon group, parallel across polygons."""
 
     def cover_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Same memo + disk cache as the broadcast path: a covering is a pure
+        # function of (loops, params) — an index-build artifact, computed
+        # once per polygon ever (per node; use shared storage in prod), not
+        # once per job run.  Identical params share entries across both join
+        # strategies.
+        from .spatial_join import (_COVERING_CACHE, _load_disk_covering,
+                                   _store_disk_covering)
+
         poly = _polygon_from_group(pdf)
         pid = int(pdf["polygon_id"].iloc[0])
-        cov = RegionCoverer(max_cells=max_cells)
-        frontier = normalize(cov.get_covering(poly))
-        interior: list[int] = []
-        skin: list[int] = []
-        for depth in range(refine_levels + 1):
-            if len(frontier) == 0:
-                break
-            may, cont = poly.relate_cells(frontier)
-            interior.extend(int(c) for c in frontier[cont])
-            lv = ci.level_of(frontier)
-            straddle = frontier[may & ~cont & (lv < 30)]
-            skin.extend(int(c) for c in frontier[may & ~cont & (lv >= 30)])
-            if depth == refine_levels:
-                skin.extend(int(c) for c in straddle)
-                break
-            frontier = ci.children(straddle).reshape(-1)
-        cells = [(c, True) for c in interior] + [(c, False) for c in skin]
-        arr = np.array([c for c, _ in cells], dtype=np.uint64)
-        return pd.DataFrame({
-            "polygon_id": pid,
-            "cov_cell_id": ci.to_signed(arr) if len(cells) else np.array([], dtype=np.int64),
-            "cov_level": ci.level_of(arr) if len(cells) else np.array([], dtype=np.int64),
-            "is_interior": [f for _, f in cells],
-        })
+        key = (tuple(lp.vertices.tobytes() for lp in poly.loops),
+               tuple(lp.depth for lp in poly.loops),
+               max_cells, refine_levels)
+        cached = _COVERING_CACHE.get(key)
+        if cached is None:
+            cached = _load_disk_covering(key)
+        if cached is None:
+            cov = RegionCoverer(max_cells=max_cells)
+            frontier = normalize(cov.get_covering(poly))
+            interior: list[int] = []
+            skin: list[int] = []
+            for depth in range(refine_levels + 1):
+                if len(frontier) == 0:
+                    break
+                may, cont = poly.relate_cells(frontier)
+                interior.extend(int(c) for c in frontier[cont])
+                lv = ci.level_of(frontier)
+                straddle = frontier[may & ~cont & (lv < 30)]
+                skin.extend(int(c) for c in frontier[may & ~cont & (lv >= 30)])
+                if depth == refine_levels:
+                    skin.extend(int(c) for c in straddle)
+                    break
+                frontier = ci.children(straddle).reshape(-1)
+            cells = ([(c, True) for c in interior]
+                     + [(c, False) for c in skin])
+            arr = np.array([c for c, _ in cells], dtype=np.uint64)
+            signed = ci.to_signed(arr) if len(cells) else []
+            levels = ci.level_of(arr) if len(cells) else []
+            cached = [(int(s), int(lv), flag)
+                      for s, lv, (_, flag) in zip(signed, levels, cells)]
+            _store_disk_covering(key, cached)
+        _COVERING_CACHE[key] = cached
+        return pd.DataFrame(
+            {"polygon_id": pid,
+             "cov_cell_id": np.array([c for c, _, _ in cached], dtype=np.int64),
+             "cov_level": np.array([lv for _, lv, _ in cached], dtype=np.int32),
+             "is_interior": [bool(f) for _, _, f in cached]})
 
     return polygons_df.groupBy("polygon_id").applyInPandas(
         cover_group, schema=COVERING_SCHEMA)
