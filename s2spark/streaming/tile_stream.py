@@ -61,3 +61,19 @@ def streaming_tile_counts(pages_stream: DataFrame, level: int = 6,
                      C.parent_for_level(F.col("cell_id"), level).alias("tile_id"))
             .agg(F.count(F.lit(1)).alias("n_pages"),
                  F.approx_count_distinct("url").alias("n_urls")))
+
+
+def streaming_tile_topk(pages_stream: DataFrame, k: int = 10,
+                        level: int = 6, window: str = "10 seconds",
+                        watermark: str = "30 seconds") -> DataFrame:
+    """Continuously-maintained hottest-k tiles (global ORDER BY + LIMIT over
+    the windowed counts).  Sorting a streaming aggregate requires COMPLETE
+    output mode — the sink re-emits the full (tiny: k rows) result each
+    trigger; state stays the bounded windowed-count state underneath.
+
+        q = (streaming_tile_topk(stream, k=10).writeStream
+             .outputMode("complete").format("memory")...)
+    """
+    counts = streaming_tile_counts(pages_stream, level, window, watermark)
+    return (counts.orderBy(F.desc("n_pages"), F.asc("tile_id"))
+            .limit(k))

@@ -190,3 +190,32 @@ def test_snapshot_time_travel_and_rollback(spark, tmp_path):
         spark, "stage", lambda: (_ for _ in ()).throw(AssertionError))
     assert resumed.count() == 3
     assert [s["snapshot_id"] for s in store.snapshots("stage")] == [1, 2]
+
+
+def test_streaming_tile_topk_matches_batch(spark, tmp_path):
+    """Complete-mode streaming top-k == batch top-k over the same rows."""
+    from s2spark.functions import columns as C
+    from s2spark.sources.pages import mine_coordinates, synthesize_pages
+    from s2spark.streaming.tile_stream import streaming_tile_topk
+
+    src_dir = str(tmp_path / "topk_src")
+    pages = synthesize_pages(spark, 2000).select(
+        "url", "text", "lang", F.col("warc_ts"))
+    pages.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    stream = (spark.readStream.schema(spark.read.parquet(src_dir).schema)
+              .parquet(src_dir))
+    topk = streaming_tile_topk(stream, k=5, level=4, window="1 hour")
+    q = (topk.writeStream.format("memory").queryName("topk_out")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT tile_id, n_pages FROM topk_out").toPandas()
+
+    geo = mine_coordinates(pages)
+    batch = (C.with_cell_id(geo, "lat", "lng")
+             .groupBy(C.parent_for_level(F.col("cell_id"), 4).alias("tile_id"))
+             .agg(F.count(F.lit(1)).alias("n_pages"))
+             .orderBy(F.desc("n_pages"), F.asc("tile_id")).limit(5).toPandas())
+    assert got.sort_values(["n_pages", "tile_id"],
+                           ascending=[False, True]).reset_index(drop=True)[
+        ["tile_id", "n_pages"]].values.tolist() == \
+        batch[["tile_id", "n_pages"]].values.tolist()
