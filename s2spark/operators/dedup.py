@@ -435,19 +435,30 @@ def verified_near_dup_pairs(documents: DataFrame, text_col: str = "text",
         .persist()
     sig_arr = sig.select(
         key_col, F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"))
-    pairs = minhash_candidate_pairs(documents, text_col, key_col, n,
-                                    num_hashes, bands, signatures=sig)
-    pairs = (pairs
-             .join(sig_arr.select(F.col(key_col).alias("id_a"),
-                                  F.col("sig").alias("sa")), "id_a")
-             .join(sig_arr.select(F.col(key_col).alias("id_b"),
-                                  F.col("sig").alias("sb")), "id_b"))
+    # Raw band collisions WITHOUT the dedupe: on template corpora the band
+    # join emits millions of duplicate-laden rows, and the gate (a pure
+    # per-pair predicate) is cheaper than a distinct — the sig joins are
+    # broadcast/map-side and the gate runs before the only shuffle, so the
+    # distinct sees ~10x fewer rows than gating after it would.
+    b = minhash_lsh_buckets(documents, text_col, key_col, n, num_hashes,
+                            bands, signatures=sig)
+    raw = (b.select("band", "bucket", F.col(key_col).alias("id_a"))
+           .join(b.select("band", "bucket", F.col(key_col).alias("id_b")),
+                 ["band", "bucket"])
+           .where(F.col("id_a") < F.col("id_b"))
+           .select("id_a", "id_b"))
+    raw = (raw
+           .join(sig_arr.select(F.col(key_col).alias("id_a"),
+                                F.col("sig").alias("sa")), "id_a")
+           .join(sig_arr.select(F.col(key_col).alias("id_b"),
+                                F.col("sig").alias("sb")), "id_b"))
     est = F.aggregate(F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
                       F.lit(0), lambda acc, v: acc + v) / float(num_hashes)
     # persist the gated pairs: used three times below (two explode-side
     # semi-joins + the intersection join) — without this Spark re-derives
     # the whole band join + gate per use
-    pairs = pairs.where(est >= est_gate).select("id_a", "id_b").persist()
+    pairs = (raw.where(est >= est_gate)
+             .select("id_a", "id_b").distinct().persist())
     # The exact verify only touches docs that SURVIVED the gate — semi-join
     # the corpus down BEFORE exploding shingles.  At production scale the
     # candidate set is a tiny fraction of the corpus, so this turns the
