@@ -43,3 +43,22 @@ def streaming_point_in_polygon(spark: SparkSession, pages_stream: DataFrame,
     pts = points_with_cells(mine_coordinates_stream(pages_stream))
     joined = spatial_join(spark, pts, polygons, max_cells=max_cells)
     return joined.select("url", "lat", "lng", "polygon_id")
+
+
+def streaming_corridor_join(spark: SparkSession, pages_stream: DataFrame,
+                            tracks: dict[int, list[tuple[float, float]]],
+                            radius_rad: float) -> DataFrame:
+    """Streaming corridor enrichment: pages whose mined coordinate lies
+    within radius_rad of any polyline track ("live pages near the route").
+
+    The batch corridor join is already a stream-compatible plan — a
+    broadcast equi-join on buffered-covering ancestor keys plus a codegen
+    min-edge-distance residual, all stateless — so the IDENTICAL logical
+    plan runs per micro-batch, like the point-in-polygon enrichment above.
+    """
+    from ..operators.distance_ops import corridor_join
+    from ..operators.spatial_join import points_with_cells
+
+    pts = points_with_cells(mine_coordinates_stream(pages_stream))
+    joined = corridor_join(spark, pts, tracks, radius_rad)
+    return joined.select("url", "lat", "lng", "track_id", "distance_rad")

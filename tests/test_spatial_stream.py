@@ -41,3 +41,34 @@ def test_streaming_pip_matches_batch(spark, tmp_path):
               for r in batch.select("url", "polygon_id").collect()}
     assert got == expect
     assert len(expect) > 0
+
+
+def test_streaming_corridor_matches_batch(spark, tmp_path):
+    """Stream-static corridor join == batch corridor join on the same rows."""
+    from pyspark.sql import functions as F
+
+    from s2spark.operators.distance_ops import corridor_join
+    from s2spark.operators.spatial_join import points_with_cells
+    from s2spark.sources.pages import mine_coordinates, synthesize_pages
+    from s2spark.streaming.spatial_stream import streaming_corridor_join
+
+    tracks = {1: [(0.0, -4.0), (0.0, 0.0), (0.0, 4.0)],
+              2: [(48.0, 2.0), (49.5, 2.4)]}
+    radius = 0.02
+    pages = synthesize_pages(spark, 4000).select("url", "text")
+    src_dir = str(tmp_path / "corridor_src")
+    pages.coalesce(2).write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(pages.schema).parquet(src_dir)
+    out = streaming_corridor_join(spark, stream, tracks, radius)
+    q = (out.writeStream.format("memory").queryName("corridor_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["url"], r["track_id"]) for r in
+           spark.sql("SELECT url, track_id FROM corridor_out").collect()}
+
+    pts = points_with_cells(mine_coordinates(pages))
+    batch = {(r["url"], r["track_id"]) for r in
+             corridor_join(spark, pts, tracks, radius)
+             .select("url", "track_id").collect()}
+    assert got == batch and len(batch) > 0
