@@ -1072,9 +1072,9 @@ def _domain_stats_oracle_sql() -> str:
     return f"""
 SELECT source AS domain, count(*) AS n_docs,
        count(DISTINCT lang) AS n_langs,
-       sum(length(text)) AS total_chars,
+       sum(length(text))::BIGINT AS total_chars,
        round(avg(len(string_split({_NORM_SQL}, ' '))), 4) AS avg_ws_tokens,
-       sum(len(regexp_extract_all(text, '{bpe}'))) AS total_bpe_tokens
+       sum(len(regexp_extract_all(text, '{bpe}')))::BIGINT AS total_bpe_tokens
 FROM documents GROUP BY source
 """
 
