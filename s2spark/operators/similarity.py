@@ -152,8 +152,10 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
     centroids, ~sqrt(N) vectors per inverted list.
 
     Execution shape at 100 TB:
-      * centroids are tiny (sqrt of the data) -> BROADCAST to assign every
-        vector to its nearest centroid in one map-side pass, no shuffle;
+      * centroids are tiny (sqrt of the data) -> BROADCAST; nearest
+        centroid per vector is a map-side partial max_by aggregate, so the
+        only assignment shuffle carries one pre-reduced row per vector
+        (O(N), independent of centroid count);
       * the data shuffles ONCE on centroid_id (building the inverted
         lists — in a persisted index this is the write-time layout, cf.
         sources.bucketed bucketing by tile);
@@ -172,14 +174,24 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
     cent = (d.where(F.col(key_col) % centroid_stride == 0)
             .select(F.col(key_col).alias("centroid_id"), F.col("v").alias("cv")))
 
-    # map-side assignment: argmax rounded-cosine over broadcast centroids
+    # assignment: argmax rounded-cosine over broadcast centroids via
+    # max_by partial aggregation.  The broadcast-nested-loop join emits
+    # N*C rows map-side, but the partial HashAggregate collapses them to
+    # one row per vector BEFORE the exchange — the shuffle is O(N), never
+    # O(N*C).  (A row_number window here would shuffle all N*C candidate
+    # rows: a dead plan at 10^9 vectors x sqrt(N) centroids.)  Tie-break
+    # contract unchanged: highest rounded sim, then lowest centroid_id,
+    # encoded as max over the lexicographic struct (sim, -centroid_id).
     sim = F.round(cosine(F.col("v"), F.col("cv")), 4)
-    aw = Window.partitionBy(key_col).orderBy(F.desc("sim"), F.col("centroid_id"))
     assigned = (d.crossJoin(F.broadcast(cent))
                 .withColumn("sim", sim)
-                .withColumn("rn", F.row_number().over(aw))
-                .where(F.col("rn") == 1)
-                .select(key_col, "v", "centroid_id"))
+                .groupBy(key_col)
+                .agg(F.max_by(
+                    F.struct(F.col("centroid_id"), F.col("v")),
+                    F.struct(F.col("sim"),
+                             (-F.col("centroid_id")).alias("nc"))).alias("a"))
+                .select(key_col, F.col("a.v").alias("v"),
+                        F.col("a.centroid_id").alias("centroid_id")))
 
     # query side: nprobe nearest centroids each (same broadcast, tiny)
     q = queries.select(F.col(query_key), as_double_array(F.col(vec_col)).alias("qv"))

@@ -84,3 +84,18 @@ def test_near_dup_bucket_cap(emb):
         emb, threshold=0.2, bits=10, bucket_cap=2)
     c = {(r["id_a"], r["id_b"]) for r in capped_tight.collect()}
     assert c <= a
+
+
+def test_ivf_assignment_shuffles_O_N_not_NxC(emb, queries):
+    """Scale-plan contract: centroid assignment must never shuffle the
+    N*C candidate set.  The executed plan must reduce candidates with a
+    partial max_by aggregate (map-side, pre-exchange) and must contain no
+    Window partitioned by the data-side key (a row_number there would
+    exchange all N*C rows)."""
+    ivf = similarity.ivf_topk(emb, queries, k=5, centroid_stride=31, nprobe=4)
+    plan = ivf._jdf.queryExecution().executedPlan().toString()
+    # no window over the data-side key (vec_id): windows are only allowed
+    # on the tiny query side (query_id)
+    assert "windowspecdefinition(vec_id" not in plan
+    # assignment argmax runs as partial (map-side) max_by aggregation
+    assert "partial_max_by" in plan
