@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "text_entropy",
     "relational_revenue_by_nation", "events_daily_agg",
     "events_retention", "events_sessionization",
+    "dedup_ngram_jaccard", "dedup_cc_clusters", "text_decontamination",
+    "text_repetition", "text_domain_stats", "text_doc_stats",
+    "corpus_sample_stratified", "embedding_stats",
 ]
 
 
@@ -144,26 +147,27 @@ def _scaling_pair(n_pages: int) -> dict:
     return out
 
 
-def _scaling_run(n_pages: int, max_attempts: int = 3) -> dict:
-    """Best-of-up-to-3 scaling pairs.  This host is a shared VM with
-    intermittent hypervisor steal: single pairs measure anywhere from
-    ~0.75 to ~0.94 raw while the in-pair pure-compute CONTROL moves with
-    them (the host itself stops scaling, not the engine).  A pair that
-    already clears the 0.8 target is accepted immediately; otherwise the
-    pair is re-measured and the best is reported, with every attempt's
-    (raw, control) recorded in `attempts` for full transparency."""
-    best = None
-    attempts = []
-    for _ in range(max_attempts):
-        pair = _scaling_pair(n_pages)
-        attempts.append({"scaling_efficiency": pair["scaling_efficiency"],
-                         "control_efficiency": pair["control_efficiency"]})
-        if best is None or pair["scaling_efficiency"] > best["scaling_efficiency"]:
-            best = pair
-        if pair["scaling_efficiency"] >= 0.8:
-            break
-    best["attempts"] = attempts
-    return best
+def _scaling_run(n_pages: int, n_pairs: int | None = None) -> dict:
+    """A FIXED number of scaling pairs (default 3, S2SPARK_SCALE_PAIRS to
+    override), reporting the MEDIAN pair by raw scaling efficiency.  This
+    host is a shared VM with intermittent hypervisor steal: single pairs
+    measure anywhere from ~0.75 to ~0.94 raw while the in-pair
+    pure-compute CONTROL moves with them (the host itself stops scaling,
+    not the engine).  Earlier rounds retried only sub-0.8 pairs and took
+    the best — that conditions the headline on the acceptance threshold
+    and upward-biases it exactly at the pass/fail boundary, so now every
+    pair runs unconditionally and the median is the headline, with every
+    attempt's (raw, control) kept in `attempts`."""
+    if n_pairs is None:
+        n_pairs = int(os.environ.get("S2SPARK_SCALE_PAIRS", "3"))
+    pairs = [_scaling_pair(n_pages) for _ in range(n_pairs)]
+    pairs.sort(key=lambda p: p["scaling_efficiency"])
+    median = pairs[(len(pairs) - 1) // 2]
+    median["attempts"] = [{"scaling_efficiency": p["scaling_efficiency"],
+                           "control_efficiency": p["control_efficiency"]}
+                          for p in pairs]
+    median["policy"] = "median of %d unconditional pairs" % n_pairs
+    return median
 
 
 def main() -> None:

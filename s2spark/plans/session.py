@@ -31,7 +31,10 @@ def build_session(app_name: str = "s2spark", master: str | None = None,
          .config("spark.sql.files.maxPartitionBytes", "134217728")
          .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
          .config("spark.sql.ansi.enabled", "false")
-         .config("spark.ui.enabled", "false"))
+         .config("spark.ui.enabled", "false")
+         # \r-animated console progress frames corrupt captured output
+         # (bench JSON lines, plan-audit tables, driver logs)
+         .config("spark.ui.showConsoleProgress", "false"))
     for k, v in extra.items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -37,10 +37,16 @@ def audit(sf_dir: str, names=None) -> int:
     from s2spark.plans.session import build_session
     import __spark_entry__ as entry
 
-    spark = build_session(master="local[8]", shuffle_partitions=8)
+    # console progress bar writes \r-terminated frames that overwrite the
+    # interleaved report lines in captured output — disable it, and buffer
+    # every report line so the full 48-line table prints atomically at the
+    # end (exit code stays authoritative either way)
+    spark = build_session(master="local[8]", shuffle_partitions=8,
+                          **{"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
     bad = 0
+    lines = []
     for name, fn in qs.items():
         if names and name not in names:
             continue
@@ -64,9 +70,12 @@ def audit(sf_dir: str, names=None) -> int:
         status = "FLAG" if flags else "ok"
         if flags:
             bad += 1
-        print(f"{status:5} {name}: exchanges={n_exchange} arrow_stages={arrow}"
-              + (f"  [{'; '.join(flags)}]" if flags else ""))
+        lines.append(
+            f"{status:5} {name}: exchanges={n_exchange} arrow_stages={arrow}"
+            + (f"  [{'; '.join(flags)}]" if flags else ""))
     spark.stop()
+    sys.stdout.write("\n".join(lines) + "\n")
+    sys.stdout.flush()
     return bad
 
 
