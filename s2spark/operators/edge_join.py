@@ -3,88 +3,232 @@
 The reference builds a quad-tree of (cell, edge) pairs — each edge covered
 at a level where cell width ~ edge length — and answers "which edges may
 cross this edge" with ancestor probes + range scans
-(S2EdgeIndex.cs:327-603).  Relationally: pick a dataset-wide level L no
-finer than the longest edge's fitting level, expand every edge to the
-Moore neighborhood (9 cells) of its start cell at L (a geodesic no longer
-than a cell width starting in C stays inside C and its ring, so the 9-cell
-set covers the whole edge — candidate generation is COMPLETE), then
-equi-join on the cell key and refine candidates with the exact
-RobustCrossing kernel.
+(S2EdgeIndex.cs:327-603).  Relationally, per-edge levels map to an
+asymmetric index/probe hash join:
 
-Scale shape: one shuffle-free explode per side, one hash join on uniform
-cell keys, Arrow-batched exact refine on candidates only.
+  * LEVEL SET — the per-edge ideal level (MIN_WIDTH.get_max_level of the
+    edge's arc length, S2EdgeIndex.cs:327-366) is quantized onto a
+    BOUNDED set S of at most `max_levels` levels spanning
+    [fit(longest edge), fit(shortest edge)], so the ancestor fan-out per
+    edge stays O(|S|) regardless of length spread.  Each edge snaps DOWN
+    to the finest S-level no finer than its own fit (the coarsest S level
+    is the fit of the longest edge, so a snap level always exists).
+  * INDEX cells — the 9-cell Moore neighborhood of the edge start's
+    ancestor at the snapped level.  A geodesic no longer than a cell
+    width starting in C stays inside C and its ring, so any point of the
+    edge — in particular any crossing point — lies in one of these 9
+    cells: candidate generation is COMPLETE.
+  * PROBE cells — the index cells plus their ancestors at every coarser
+    S level (deduplicated; coarse ancestors of a 9-ring collapse to 1-4
+    cells).
+  * JOIN — probe(A) |><| index(B) UNION probe(B) |><| index(A) on cell
+    equality.  For a pair (a, b) with level(a) <= level(b), the crossing
+    point's cell at level(a) appears both in a's index cells and in b's
+    probe ancestors, so the second branch finds it (and vice versa).
+    Indexing each side only at its OWN level is what keeps coarse
+    buckets linear: a level-0 bucket holds the few genuinely long edges
+    plus fine edges' probe ancestors, never fine x fine pairs — the
+    all-pairs blowup a single dataset-global coarse level would cause
+    when one transcontinental edge meets a corpus of street-level edges.
+
+Scale shape: one shuffle-free explode per side, two hash joins on
+uniform cell keys (each linear in candidates), Arrow-batched exact
+refine on candidates only.
 """
 
 from __future__ import annotations
-
-import math
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, BooleanType, LongType
+from pyspark.sql.types import (ArrayType, BooleanType, LongType, StructField,
+                               StructType)
 
-from ..functions import columns as C
 from ..kernel import cellid as ci
-from ..kernel import metrics, sphere
+from ..kernel import metrics
 from ..kernel.loops import robust_crossing_batch
 
 EDGE_COLS = ("ax", "ay", "az", "bx", "by", "bz")
 
+def _edge_angle():
+    # built lazily: Column construction needs a live SparkContext, and
+    # executors import this module to unpickle the cell UDF
+    return F.acos(F.greatest(F.lit(-1.0), F.least(
+        F.lit(1.0),
+        F.col("ax") * F.col("bx") + F.col("ay") * F.col("by")
+        + F.col("az") * F.col("bz"))))
+
+
+def _fit_levels(ax, ay, az, bx, by, bz) -> np.ndarray:
+    """Vectorized MIN_WIDTH.get_max_level of each edge's arc length
+    (the reference's per-edge ideal level, S2EdgeIndex.cs:327-366)."""
+    dot = np.clip(ax * bx + ay * by + az * bz, -1.0, 1.0)
+    ang = np.arccos(dot)
+    val = 2.0 * metrics.MIN_WIDTH.deriv / np.maximum(ang, 1e-300)
+    exps = np.frexp(val)[1]          # IEEE exponent + 1 == S2.Exp
+    lv = np.where(ang <= 0, ci.MAX_LEVEL, exps - 1)
+    return np.clip(lv, 0, ci.MAX_LEVEL).astype(np.int64)
+
 
 def max_edge_level(edges: DataFrame) -> int:
-    """Coarsest fitting level: MIN_WIDTH.get_max_level(longest edge angle)
-    (the reference's per-edge ideal level, S2EdgeIndex.cs:327-366, made
-    dataset-global so the join key is a single level)."""
-    row = edges.select(
-        F.max(F.acos(F.least(F.lit(1.0),
-                             F.col("ax") * F.col("bx") + F.col("ay") * F.col("by")
-                             + F.col("az") * F.col("bz")))).alias("m")).collect()[0]
-    longest = float(row["m"]) or 1e-10
-    return max(0, min(30, metrics.MIN_WIDTH.get_max_level(longest)))
+    """Coarsest fitting level: MIN_WIDTH.get_max_level(longest edge angle)."""
+    row = edges.select(F.max(_edge_angle()).alias("m")).collect()[0]
+    longest = float(row["m"] or 0.0) or 1e-10
+    return max(0, min(ci.MAX_LEVEL, metrics.MIN_WIDTH.get_max_level(longest)))
 
 
-@F.pandas_udf(ArrayType(LongType()))
-def _edge_cells_udf(ax: pd.Series, ay: pd.Series, az: pd.Series,
-                    level: pd.Series) -> pd.Series:
-    """9-cell Moore neighborhood of the edge start's ancestor at `level`."""
-    x = ax.to_numpy(np.float64)
-    if len(x) == 0:
-        return pd.Series([], dtype=object)
-    leaf = ci.from_point(x, ay.to_numpy(np.float64), az.to_numpy(np.float64))
-    lv = level.to_numpy(np.int64)
-    parents = ci.parent_for_level(leaf, lv)
-    nbrs, valid = ci.get_all_neighbors(parents, lv)
-    out = []
-    for p, row, m in zip(ci.to_signed(parents),
-                         ci.to_signed(nbrs.reshape(-1)).reshape(nbrs.shape), valid):
-        out.append(list(dict.fromkeys([int(p)] + [int(v) for v in row[m]])))
-    return pd.Series(out)
+def _level_set(edges_a: DataFrame, edges_b: DataFrame,
+               max_levels: int) -> tuple[int, ...]:
+    """Bounded ascending level set S chosen from the FIT-LEVEL HISTOGRAM.
+
+    Snapping an edge k levels below its fit covers it with cells 2^k
+    wider than needed — collision candidates grow ~4^k — so S must sit
+    where the mass is, not spread evenly over the range (a single
+    near-zero-length edge would otherwise drag a linspace level set away
+    from the bulk).  The histogram is one tiny agg per side (<= 31 rows,
+    independent of row count); the coarsest fit level is always included
+    (every edge needs a snap level <= its fit), and the remaining
+    max_levels-1 levels minimize the count-weighted total coarsening
+    sum(cnt[l] * (l - snap(l))) by exhaustive search over present levels
+    (<= C(30, 3) combos, driver-side)."""
+    # fit level as a Column: get_max_level == IEEE_exponent(val) - 1 ==
+    # floor(log2(val)) for dim-1 metrics (metrics.py: Metric.get_max_level)
+    val = 2.0 * metrics.MIN_WIDTH.deriv / F.greatest(_edge_angle(),
+                                                     F.lit(1e-300))
+    lvl = F.greatest(F.lit(0), F.least(F.lit(ci.MAX_LEVEL),
+                                       F.floor(F.log2(val)))).alias("lvl")
+    counts: dict[int, int] = {}
+    max_ang = 0.0
+    for df in (edges_a, edges_b):
+        rows = (df.select(lvl, _edge_angle().alias("ang"))
+                .groupBy("lvl")
+                .agg(F.count(F.lit(1)).alias("cnt"), F.max("ang").alias("mx"))
+                .collect())
+        for r in rows:
+            counts[int(r["lvl"])] = counts.get(int(r["lvl"]), 0) + int(r["cnt"])
+            max_ang = max(max_ang, float(r["mx"]))
+    if not counts:
+        return (0,)                       # both sides empty
+    # the Column-side floor(log2(...)) above can disagree with the UDF's
+    # exact frexp by one level at power-of-two boundaries; anchor the
+    # coarsest level with the exact computation, inflated one part in
+    # 10^9 so any ULP divergence rounds COARSER (safe: snap level must be
+    # <= every edge's true fit or its 9-ring covering is incomplete)
+    lo_exact = max(0, min(ci.MAX_LEVEL,
+                          metrics.MIN_WIDTH.get_max_level(
+                              max(max_ang, 1e-300) * (1 + 1e-9))))
+    counts.setdefault(lo_exact, 0)
+    present = sorted(counts)
+    lo = min(present)
+    if len(present) <= max_levels:
+        return tuple(present)
+
+    def cost(chosen: tuple[int, ...]) -> int:
+        total = 0
+        for lv, cnt in counts.items():
+            snap = max(c for c in chosen if c <= lv)
+            total += cnt * (lv - snap)
+        return total
+
+    from itertools import combinations
+    best, best_cost = (lo,), cost((lo,))
+    for extra in combinations([p for p in present if p != lo],
+                              max_levels - 1):
+        ch = (lo,) + extra
+        c = cost(ch)
+        if c < best_cost:
+            best, best_cost = ch, c
+    return tuple(sorted(best))
+
+
+def _edge_cells_udf(levels: tuple[int, ...]):
+    """Pandas UDF: per edge, array of (cell, own) — `own` marks the
+    9-ring at the edge's snapped level (index cells); the rest are
+    ancestors at coarser S levels (probe-only cells)."""
+    lv_arr = np.array(levels, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(StructType([
+        StructField("cell", LongType()), StructField("own", BooleanType())])))
+    def edge_cells(ax: pd.Series, ay: pd.Series, az: pd.Series,
+                   bx: pd.Series, by: pd.Series, bz: pd.Series) -> pd.Series:
+        n = len(ax)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        x, y, z = (s.to_numpy(np.float64) for s in (ax, ay, az))
+        fit = _fit_levels(x, y, z, bx.to_numpy(np.float64),
+                          by.to_numpy(np.float64), bz.to_numpy(np.float64))
+        # snap DOWN to the finest S level <= fit; S[0] <= every fit
+        snap_idx = np.maximum(
+            np.searchsorted(lv_arr, fit, side="right") - 1, 0)
+        leaf = ci.from_point(x, y, z)
+        out = [None] * n
+        for li in range(len(lv_arr)):
+            m = snap_idx == li
+            if not m.any():
+                continue
+            lv = int(lv_arr[li])
+            parents = ci.parent_for_level(leaf[m], lv)
+            nbrs, valid = ci.get_all_neighbors(parents, lv)
+            cells = np.concatenate([parents[:, None], nbrs], axis=1)
+            vmask = np.concatenate(
+                [np.ones((len(parents), 1), dtype=bool), valid], axis=1)
+            tiers = [cells]
+            for lc in lv_arr[:li]:        # ancestors at coarser S levels
+                tiers.append(ci.parent_for_level(cells.reshape(-1),
+                                                 int(lc)).reshape(cells.shape))
+            signed = [ci.to_signed(t.reshape(-1)).reshape(t.shape)
+                      for t in tiers]
+            for r, oi in enumerate(np.nonzero(m)[0]):
+                vm = vmask[r]
+                row = {int(c): True for c in signed[0][r][vm]}
+                for t in signed[1:]:
+                    for c in t[r][vm]:
+                        row.setdefault(int(c), False)
+                out[oi] = [(c, own) for c, own in row.items()]
+        return pd.Series(out)
+
+    return edge_cells
 
 
 def edge_crossing_join(edges_a: DataFrame, edges_b: DataFrame,
                        key_a: str = "edge_a", key_b: str = "edge_b",
-                       level: int | None = None) -> DataFrame:
+                       level: int | None = None,
+                       max_levels: int = 4) -> DataFrame:
     """All (edge_a, edge_b) pairs whose geodesic edges properly cross
     (RobustCrossing > 0; S2EdgeUtil.cs:85-123).
 
     Inputs carry unit-vector endpoint columns ax..bz plus a key column.
+    `level` forces a single dataset-global level (legacy behavior);
+    by default each edge indexes at its own quantized fitting level
+    (at most `max_levels` distinct levels — see module docstring).
     """
-    if level is None:
-        level = min(max_edge_level(edges_a), max_edge_level(edges_b))
+    levels = (level,) if level is not None \
+        else _level_set(edges_a, edges_b, max_levels)
+    cells_udf = _edge_cells_udf(levels)
 
     def keyed(df: DataFrame, key: str, prefix: str) -> DataFrame:
-        cells = _edge_cells_udf(F.col("ax"), F.col("ay"), F.col("az"),
-                                F.lit(level))
+        cells = cells_udf(*[F.col(c) for c in EDGE_COLS])
         return df.select(
             F.col(key),
             *[F.col(c).alias(prefix + c) for c in EDGE_COLS],
-            F.explode(cells).alias("cell"))
+            F.explode(cells).alias("c")).select(
+            key, *[prefix + c for c in EDGE_COLS],
+            F.col("c.cell").alias("cell"), F.col("c.own").alias("own"))
 
     a = keyed(edges_a, key_a, "a_")
     b = keyed(edges_b, key_b, "b_")
-    cand = (a.join(b, "cell")
+    # probe(A) |><| index(B)  UNION  probe(B) |><| index(A): complete for
+    # mixed levels (coarser side's index cell == finer side's probe
+    # ancestor at the coarser level); same-level pairs match in both
+    # branches and dedup below.
+    cols = [key_a, key_b] + ["a_" + c for c in EDGE_COLS] \
+        + ["b_" + c for c in EDGE_COLS]
+    cand = (a.drop("own").join(b.where(F.col("own")).drop("own"), "cell")
+            .select(*cols)
+            .unionByName(
+                a.where(F.col("own")).drop("own").join(b.drop("own"), "cell")
+                .select(*cols))
             .dropDuplicates([key_a, key_b]))
 
     @F.pandas_udf(BooleanType())
@@ -104,3 +248,29 @@ def edge_crossing_join(edges_a: DataFrame, edges_b: DataFrame,
     return (cand.where(crosses(*[F.col("a_" + c) for c in EDGE_COLS],
                                *[F.col("b_" + c) for c in EDGE_COLS]))
             .select(key_a, key_b))
+
+
+def candidate_pairs(edges_a: DataFrame, edges_b: DataFrame,
+                    key_a: str = "edge_a", key_b: str = "edge_b",
+                    level: int | None = None,
+                    max_levels: int = 4) -> DataFrame:
+    """Distinct candidate (key_a, key_b) pairs BEFORE the exact refine —
+    exposed so tests can assert candidate-count bounds for mixed-length
+    edge sets (the per-edge-level guarantee)."""
+    levels = (level,) if level is not None \
+        else _level_set(edges_a, edges_b, max_levels)
+    cells_udf = _edge_cells_udf(levels)
+
+    def keyed(df: DataFrame, key: str) -> DataFrame:
+        cells = cells_udf(*[F.col(c) for c in EDGE_COLS])
+        return df.select(F.col(key), F.explode(cells).alias("c")).select(
+            key, F.col("c.cell").alias("cell"), F.col("c.own").alias("own"))
+
+    a = keyed(edges_a, key_a)
+    b = keyed(edges_b, key_b)
+    return (a.drop("own").join(b.where(F.col("own")).drop("own"), "cell")
+            .select(key_a, key_b)
+            .unionByName(
+                a.where(F.col("own")).drop("own").join(b.drop("own"), "cell")
+                .select(key_a, key_b))
+            .dropDuplicates([key_a, key_b]))

@@ -105,3 +105,45 @@ def test_random_crossings_match_brute_force(spark):
     got = {(int(r["edge_a"]), int(r["edge_b"]))
            for r in edge_crossing_join(df_a, df_b).collect()}
     assert got == expect
+
+
+def _hemisphere_plus_short(rng, n_short):
+    """One near-hemisphere edge + n_short street-level edges in a cap —
+    the mixed-length shape that forces a dataset-global level toward
+    all-pairs (S2EdgeIndex indexes each edge at its own level to avoid
+    exactly this; S2EdgeIndex.cs:327-366)."""
+    short = _random_cap_edges(rng, n_short, edge_len_rad=2e-4,
+                              cap_span_rad=0.3)
+    long_edge = np.array([[[1.0, 0.0, 0.0], [-0.9999, 0.01, 0.0]]])
+    long_edge /= np.linalg.norm(long_edge, axis=2, keepdims=True)
+    return np.concatenate([long_edge, short])
+
+
+def test_mixed_length_matches_brute_force(spark):
+    from s2spark.operators.edge_join import edge_crossing_join
+    rng = np.random.default_rng(7)
+    edges = _hemisphere_plus_short(rng, 300)
+    df_a = _edges_df(spark, edges, "edge_a")
+    df_b = _edges_df(spark, edges, "edge_b")
+    got = {(r["edge_a"], r["edge_b"])
+           for r in edge_crossing_join(df_a, df_b).collect()}
+    assert got == _brute_crossings(edges, edges)
+
+
+def test_mixed_length_candidate_count_bounded(spark):
+    """Per-edge levels must keep the candidate set linear: with one
+    near-hemisphere edge + 5k short cap edges, a single global level
+    (forced to the long edge's fit, ~level 0) buckets every edge
+    together (~n^2 candidates), while per-edge indexing admits only
+    (short, short) neighbors + (long, short) ancestor probes."""
+    from s2spark.operators.edge_join import candidate_pairs
+    rng = np.random.default_rng(11)
+    edges = _hemisphere_plus_short(rng, 5000)
+    n = len(edges)
+    df_a = _edges_df(spark, edges, "edge_a")
+    df_b = _edges_df(spark, edges, "edge_b")
+    n_cand = candidate_pairs(df_a, df_b).count()
+    # linear bound: averaged over edges, a bounded number of candidates
+    # each (9-ring collisions in the cap + the long edge's probe hits);
+    # the global-level plan would produce ~n^2/2 > 12M pairs here
+    assert n_cand < 40 * n, f"candidate blowup: {n_cand} pairs for {n} edges"
