@@ -95,7 +95,16 @@ def minhash_signatures(documents: DataFrame, text_col: str = "text",
                        num_hashes: int = 16) -> DataFrame:
     """Per-doc MinHash signature: min over shingles of k independent
     salted-md5 hashes (true permutation family; see perm_hash).
-    Map-only — see with_minhash_signatures."""
+    Map-only — see with_minhash_signatures.
+
+    PRECONDITION: `key_col` must be unique (one row per key).  The
+    map-only form emits one signature row per INPUT ROW; duplicate keys
+    would pass through as duplicate signature rows and inflate downstream
+    band-bucket / pair cardinality (the earlier groupBy form silently
+    coalesced them).  Callers with non-unique keys must
+    dropDuplicates(key_col) first — not done here, because the dedup
+    tables' primary keys are unique by construction and the extra shuffle
+    would erase the map-only property this operator exists for."""
     return with_minhash_signatures(
         documents.select(F.col(key_col), F.col(text_col)),
         text_col, num_hashes, n).drop(text_col)
@@ -225,13 +234,19 @@ def chunk_dedup(documents: DataFrame, text_col: str = "text",
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.array_join(F.slice(words, i * w + 1, w), " "))
-    ex = df.select(key_col, F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    ex = (df.select(key_col, F.posexplode(chunks).alias("chunk_idx", "chunk"))
+          # group/join on the 16-byte digest, not the ~100+-byte raw
+          # 20-word chunk: the digest is the shuffle key AND payload of
+          # the dedup stages (md5, not a 64-bit hash — at 100 TB the
+          # corpus holds ~10^10 chunks, where 64-bit birthday collisions
+          # are expected and would silently drop non-duplicate spans)
+          .withColumn("__digest", F.unhex(F.md5(F.col("chunk")))))
     # first occurrence of each distinct chunk across the corpus: one
     # min(struct) agg — (doc_id, chunk_idx) lexicographic order
-    firsts = (ex.groupBy("chunk")
+    firsts = (ex.groupBy("__digest")
               .agg(F.min(F.struct(F.col(key_col).alias("k"),
                                   F.col("chunk_idx").alias("i"))).alias("f")))
-    kept = (ex.join(firsts, "chunk")
+    kept = (ex.join(firsts, "__digest")
             .where((F.col(key_col) == F.col("f.k"))
                    & (F.col("chunk_idx") == F.col("f.i"))))
     assembled = (kept.groupBy(key_col)
@@ -392,11 +407,15 @@ def dedup_clusters(documents: DataFrame, text_col: str = "text",
     near-dup removal pipeline shape at 100 TB: banded LSH bounds candidate
     generation, exact Jaccard prevents false drops, large/small-star
     bounds shuffle rounds at O(log n)."""
-    # persist: the pair set seeds BOTH the edge list and the node list of
-    # the CC loop (and the final doc join) — unpersisted, the whole
-    # LSH+verify pipeline would re-run once per consumer
+    # eager localCheckpoint: the pair set seeds BOTH the edge list and the
+    # node list of the CC loop (and the final doc join) — unmaterialized,
+    # the whole LSH+verify pipeline would re-run once per consumer.
+    # localCheckpoint (not persist) so the blocks are freed by the
+    # ContextCleaner when the caller drops the result, instead of
+    # accumulating in executor storage across calls in a long session.
     pairs = verified_near_dup_pairs(documents, text_col, key_col, n,
-                                    num_hashes, bands, threshold).persist()
+                                    num_hashes, bands,
+                                    threshold).localCheckpoint()
     comp = connected_components(pairs, "id_a", "id_b")
     return (documents.select(F.col(key_col))
             .join(comp.withColumnRenamed("node", key_col), key_col, "left")
@@ -428,11 +447,12 @@ def verified_near_dup_pairs(documents: DataFrame, text_col: str = "text",
     Output: (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     """
     est_gate = max(0.0, threshold - 0.3)
-    # signatures are computed ONCE and persisted: the band join, the
-    # estimate gate, and (at scale) repeated runs all read the same tiny
+    # signatures are computed ONCE and materialized (eager localCheckpoint,
+    # cleaned up with the result's lifetime): the band join, the estimate
+    # gate, and (at scale) repeated runs all read the same tiny
     # (#docs x num_hashes longs) table -- the materialized-index pattern.
     sig = minhash_signatures(documents, text_col, key_col, n, num_hashes) \
-        .persist()
+        .localCheckpoint()
     sig_arr = sig.select(
         key_col, F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"))
     # Raw band collisions WITHOUT the dedupe: on template corpora the band
@@ -454,11 +474,11 @@ def verified_near_dup_pairs(documents: DataFrame, text_col: str = "text",
                                 F.col("sig").alias("sb")), "id_b"))
     est = F.aggregate(F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
                       F.lit(0), lambda acc, v: acc + v) / float(num_hashes)
-    # persist the gated pairs: used three times below (two explode-side
+    # materialize the gated pairs: used three times below (two explode-side
     # semi-joins + the intersection join) — without this Spark re-derives
     # the whole band join + gate per use
     pairs = (raw.where(est >= est_gate)
-             .select("id_a", "id_b").distinct().persist())
+             .select("id_a", "id_b").distinct().localCheckpoint())
     # The exact verify only touches docs that SURVIVED the gate — semi-join
     # the corpus down BEFORE exploding shingles.  At production scale the
     # candidate set is a tiny fraction of the corpus, so this turns the
@@ -486,13 +506,14 @@ def verified_near_dup_pairs(documents: DataFrame, text_col: str = "text",
     # payload width drives the dominant shuffle (8B/gram vs ~25B/gram).
     # Distinct within a doc is computed on the STRINGS first; a 60-bit
     # cross-gram collision (p ~ 1e-12/doc) is mirrored bit-for-bit by the
-    # DuckDB oracle, which hashes the same way.  persist(): both join
-    # branches read the same small table instead of re-deriving it.
+    # DuckDB oracle, which hashes the same way.  localCheckpoint(): both
+    # join branches read the same small table instead of re-deriving it,
+    # and the blocks die with the result instead of pinning the cache.
     ghashed = F.transform(
         grams,
         lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"))
     gdf = (docs_cand.select(F.col(key_col), norm.alias("__norm"))
-           .select(F.col(key_col), ghashed.alias("g")).persist())
+           .select(F.col(key_col), ghashed.alias("g")).localCheckpoint())
     scored = (pairs
               .join(gdf.select(F.col(key_col).alias("id_a"),
                                F.col("g").alias("ga")), "id_a")

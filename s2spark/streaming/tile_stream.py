@@ -68,8 +68,15 @@ def streaming_tile_topk(pages_stream: DataFrame, k: int = 10,
                         watermark: str = "30 seconds") -> DataFrame:
     """Continuously-maintained hottest-k tiles (global ORDER BY + LIMIT over
     the windowed counts).  Sorting a streaming aggregate requires COMPLETE
-    output mode — the sink re-emits the full (tiny: k rows) result each
-    trigger; state stays the bounded windowed-count state underneath.
+    output mode, and complete mode DISABLES watermark-based state
+    eviction: every (window, tile) aggregate ever seen is retained for
+    the lifetime of the query, so state grows with stream duration x
+    #active tiles.  That is the price of a continuously-ranked global
+    top-k; acceptable for bounded runs and demos, NOT for an unbounded
+    production stream.  At scale, rank per-window instead: consume
+    streaming_tile_counts in append mode (watermark evicts closed
+    windows, state bounded) and take the top-k of each emitted window in
+    a foreachBatch sink or a downstream batch query.
 
         q = (streaming_tile_topk(stream, k=10).writeStream
              .outputMode("complete").format("memory")...)
