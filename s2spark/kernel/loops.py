@@ -486,6 +486,68 @@ class Polygon:
             b = LatLngRect.empty()
         self.bound = b
 
+    @classmethod
+    def from_nested(cls, loops: list["Loop"]) -> "Polygon":
+        """Build a polygon from non-crossing loops, assigning nesting
+        depths and ordering loops by PREORDER traversal of the nesting
+        hierarchy (the invariant get_parent / get_last_descendant rely
+        on; InitNested, S2Polygon.cs:214-268).
+
+        Each loop's parent is its smallest container — the container
+        that is itself contained by every other container of the loop.
+        """
+        n = len(loops)
+        holds = [[i != j and loops[i].contains_nested(loops[j])
+                  for j in range(n)] for i in range(n)]
+        n_containers = [sum(holds[j][i] for j in range(n)) for i in range(n)]
+        parent = [-1] * n
+        for i in range(n):
+            containers = [j for j in range(n) if holds[j][i]]
+            if containers:
+                # smallest container = the most-deeply-contained one
+                parent[i] = max(containers, key=lambda j: n_containers[j])
+        children: dict[int, list[int]] = {}
+        roots = []
+        for i in range(n):
+            if parent[i] < 0:
+                roots.append(i)
+            else:
+                children.setdefault(parent[i], []).append(i)
+        ordered: list[Loop] = []
+
+        def visit(i: int, depth: int) -> None:
+            ordered.append(Loop(loops[i].vertices.copy(), depth=depth))
+            for c in children.get(i, ()):
+                visit(c, depth + 1)
+
+        for r in roots:
+            visit(r, 0)
+        return cls(ordered)
+
+    def get_parent(self, k: int) -> int:
+        """Index of loop k's parent in the nesting hierarchy, or -1 for a
+        shell at depth 0 (S2Polygon.cs:410-421).  With loops in preorder,
+        the parent is the nearest preceding loop of smaller depth."""
+        depth = self.loops[k].depth
+        if depth == 0:
+            return -1
+        for j in range(k - 1, -1, -1):
+            if self.loops[j].depth < depth:
+                return j
+        return -1
+
+    def get_last_descendant(self, k: int) -> int:
+        """Index of the last loop contained within loop k (num_loops-1
+        for k < 0; S2Polygon.cs:432-443).  Immediate children of k are
+        the loops in (k, last_descendant(k)] whose depth == depth(k)+1."""
+        if k < 0:
+            return len(self.loops) - 1
+        depth = self.loops[k].depth
+        j = k + 1
+        while j < len(self.loops) and self.loops[j].depth > depth:
+            j += 1
+        return j - 1
+
     def contains_points(self, px, py, pz) -> np.ndarray:
         px = np.asarray(px, dtype=np.float64)
         result = np.zeros(px.shape, dtype=bool)

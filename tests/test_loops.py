@@ -147,3 +147,45 @@ def test_origin_invariance_vs_vertex_rotation():
     for shift in (1, 3):
         rot = Loop(np.roll(verts, shift, axis=0))
         assert np.array_equal(rot.contains_points(x, y, z), base)
+
+
+def test_polygon_loop_hierarchy_accessors():
+    """GetParent / GetLastDescendant over a preorder-nested polygon
+    (S2Polygon.cs:410-443): two shell trees, one three-deep."""
+    from s2spark.kernel.loops import Polygon
+    a = Loop(parse_vertices("10:-10, -10:-10, -10:10, 10:10")).normalized()
+    b = Loop(parse_vertices("6:-6, -6:-6, -6:6, 6:6")).normalized()
+    c = Loop(parse_vertices("2:-2, -2:-2, -2:2, 2:2")).normalized()
+    d = Loop(parse_vertices("5:40, -5:40, -5:50, 5:50")).normalized()
+    # shuffled input order; from_nested must recover preorder + depths
+    poly = Polygon.from_nested([d, c, a, b])
+    depths = [lp.depth for lp in poly.loops]
+    # preorder: each tree contiguous, depth increments within a chain
+    assert sorted(depths) == [0, 0, 1, 2]
+    # locate the deep chain root (the loop with descendants)
+    roots = [k for k in range(4) if poly.loops[k].depth == 0]
+    chain_root = next(k for k in roots if poly.get_last_descendant(k) > k)
+    lone_root = next(k for k in roots if poly.get_last_descendant(k) == k)
+    assert poly.get_parent(chain_root) == -1
+    assert poly.get_parent(lone_root) == -1
+    # chain: root -> hole -> island, contiguous preorder indices
+    hole = chain_root + 1
+    island = chain_root + 2
+    assert poly.loops[hole].depth == 1 and poly.loops[island].depth == 2
+    assert poly.get_parent(hole) == chain_root
+    assert poly.get_parent(island) == hole
+    assert poly.get_last_descendant(chain_root) == island
+    assert poly.get_last_descendant(hole) == island
+    assert poly.get_last_descendant(island) == island
+    assert poly.get_last_descendant(-1) == 3
+    # reference-documented child iteration contract: immediate children
+    # of k are loops (k+1)..last_descendant(k) with depth == depth(k)+1
+    kids = [j for j in range(chain_root + 1,
+                             poly.get_last_descendant(chain_root) + 1)
+            if poly.loops[j].depth == poly.loops[chain_root].depth + 1]
+    assert kids == [hole]
+    # parent pointers agree with geometric containment
+    for k in range(4):
+        p = poly.get_parent(k)
+        if p >= 0:
+            assert poly.loops[p].contains_nested(poly.loops[k])
