@@ -14,6 +14,8 @@ the pytest suite on the synthesized pages table.
 
 from __future__ import annotations
 
+import os
+import itertools
 from collections.abc import Callable
 
 import numpy as np
@@ -201,6 +203,41 @@ def _q_point_in_polygon_shuffle(spark, sf_dir):
         hot_threshold=200, n_salt=4, point_key="doc_id",
         hot_sample_fraction=0.2)
     return out.select("doc_id", "polygon_id")
+
+
+_STREAM_PIP_SEQ = itertools.count()
+
+
+def _q_stream_point_in_polygon(spark, sf_dir):
+    """Structured-Streaming point-in-polygon, graded against the BATCH
+    oracle: documents.parquet is consumed as a bounded file-source stream
+    (availableNow trigger), each micro-batch runs the IDENTICAL
+    stream-static broadcast covering join as s2_point_in_polygon (the
+    join is stateless enrichment — no watermark/state needed), and the
+    memory-sink result is returned.  Streaming == batch is thereby a
+    driver-gate hash equality, not just a pytest claim."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    # the file source monitors a DIRECTORY; the sf test tables are single
+    # read-only files, so stage a scratch dir holding a symlink to the
+    # table (no data copied) — production streams read a real landing dir
+    import tempfile
+    stage = tempfile.mkdtemp(prefix="s2spark_stream_pip_")
+    os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"),
+               os.path.join(stage, "part-0.parquet"))
+    stream = spark.readStream.schema(schema).parquet(stage)
+    geo = stream.select("doc_id", "lang",
+                        F.expr(LAT_SQL).alias("lat"),
+                        F.expr(LNG_SQL).alias("lng"))
+    pts = points_with_cells(geo)
+    joined = spatial_join(
+        spark, pts.select("doc_id", "lat", "lng", "cell_id", "x", "y", "z"),
+        _JOIN_POLYGONS)
+    name = f"stream_pip_out_{next(_STREAM_PIP_SEQ)}"
+    q = (joined.select("doc_id", "polygon_id")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select("doc_id", "polygon_id")
 
 
 _QUERY_RECTS = {
@@ -650,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cell_topology": _q_topology,
         "s2_point_in_polygon": _q_point_in_polygon,
         "s2_point_in_polygon_shuffle": _q_point_in_polygon_shuffle,
+        "stream_point_in_polygon": _q_stream_point_in_polygon,
         "s2_containment_ranges": _q_containment_ranges,
         "s2_rect_query": _q_rect_query,
         "s2_cap_query": _q_cap_query,
@@ -1137,6 +1175,10 @@ def oracle_sql() -> dict[str, str]:
             f"WITH src AS ({_DOCS_GEO_SQL}), {CELL_ID_FROM_LATLNG_CTES}, "
             f"pts AS (SELECT doc_id, px, py, pz FROM encoded) {pip_union}"),
         "s2_point_in_polygon_shuffle": (
+            f"WITH src AS ({_DOCS_GEO_SQL}), {CELL_ID_FROM_LATLNG_CTES}, "
+            f"pts AS (SELECT doc_id, px, py, pz FROM encoded) {pip_union}"),
+        # streaming micro-batches must reproduce the BATCH answer exactly
+        "stream_point_in_polygon": (
             f"WITH src AS ({_DOCS_GEO_SQL}), {CELL_ID_FROM_LATLNG_CTES}, "
             f"pts AS (SELECT doc_id, px, py, pz FROM encoded) {pip_union}"),
         "s2_boolean_pip": (
