@@ -135,7 +135,8 @@ def spatial_join_shuffle(spark: SparkSession, points: DataFrame,
                          hot_threshold: int = 2_000_000,
                          point_key: str = "url",
                          hot_sample_fraction: float = 0.001,
-                         refine_salt: int = 16) -> DataFrame:
+                         refine_salt: int = 16,
+                         refine_broadcast_loops: int = 10_000) -> DataFrame:
     """points (leaf cell_col + x,y,z) x polygons table -> (point rows,
     polygon_id) via shuffle hash join on covering cells with hot-cell
     salting, then grouped exact refine.
@@ -149,6 +150,14 @@ def spatial_join_shuffle(spark: SparkSession, points: DataFrame,
     threshold yields ~2000 sampled hits (Poisson sigma ~45): detection is
     reliable, and borderline flips only change load balance, never results.
     Pass 1.0 for the exact full-pass count.
+
+    refine_broadcast_loops: when the polygon side has at most this many
+    loop rows, the exact refine runs as the broadcast-vertices pandas UDF
+    (same masked single-pass kernel as the broadcast join) instead of the
+    cogrouped refine — the shuffle plan exists for the non-broadcastable
+    COVERING side, but a polygon set whose raw vertices fit in a
+    broadcast shouldn't pay the cogroup's two exchanges + group funnel.
+    Set to 0 to force the cogroup path.
     """
     if coverings is None:
         coverings = build_coverings_distributed(polygons_df)
@@ -196,6 +205,28 @@ def spatial_join_shuffle(spark: SparkSession, points: DataFrame,
     else:
         joined = probed.join(coverings, probed.probe_cell == coverings.cov_cell_id)
     joined = joined.drop("probe_cell", "cov_cell_id", "cov_level")
+
+    # broadcast-refine fast path: few-enough loops -> ship vertices to
+    # every executor once and run the masked single-pass parity kernel;
+    # skips the exterior/interior split union and the cogroup's exchanges
+    n_loops = polygons_df.count()
+    if 0 < n_loops <= refine_broadcast_loops:
+        from .spatial_join import _make_contains_udf
+        polys: dict[int, list] = {}
+        for row in polygons_df.collect():
+            polys.setdefault(int(row["polygon_id"]), []).append(row)
+        polygons = {
+            pid: Polygon([
+                Loop(np.stack([np.asarray(v, dtype=np.float64)
+                               for v in r["vertices"]]),
+                     depth=int(r["depth"]))
+                for r in sorted(rows, key=lambda r: int(r["loop_idx"]))])
+            for pid, rows in polys.items()}
+        contains_udf = _make_contains_udf(spark, polygons)
+        masked = F.when(~F.col("is_interior"), F.col("x"))
+        keep = F.col("is_interior") | contains_udf(
+            F.col("polygon_id"), masked, F.col("y"), F.col("z"))
+        return joined.where(keep).drop("is_interior")
 
     interior = joined.where(F.col("is_interior")).drop("is_interior")
     exterior = joined.where(~F.col("is_interior")).drop("is_interior")

@@ -61,10 +61,18 @@ def test_spatial_join_matches_bruteforce(spark, polygons, pts):
 
 def test_shuffle_join_equals_broadcast(spark, polygons, pts):
     a = spatial_join(spark, pts, polygons).select("url", "polygon_id")
+    # default: small polygon side takes the broadcast-refine fast path
     b = spatial_join_shuffle(spark, pts, polygons_to_df(spark, polygons),
                              hot_threshold=500, n_salt=3).select("url", "polygon_id")
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+    # forced cogroup refine (the non-broadcastable-polygon path) must
+    # produce the identical result
+    c = spatial_join_shuffle(spark, pts, polygons_to_df(spark, polygons),
+                             hot_threshold=500, n_salt=3,
+                             refine_broadcast_loops=0).select("url", "polygon_id")
+    assert a.exceptAll(c).count() == 0
+    assert c.exceptAll(a).count() == 0
 
 
 def test_text_byte_identity(spark):
