@@ -136,7 +136,8 @@ def spatial_join_shuffle(spark: SparkSession, points: DataFrame,
                          point_key: str = "url",
                          hot_sample_fraction: float = 0.001,
                          refine_salt: int = 16,
-                         refine_broadcast_loops: int = 10_000) -> DataFrame:
+                         refine_broadcast_loops: int = 10_000,
+                         return_candidates: bool = False) -> DataFrame:
     """points (leaf cell_col + x,y,z) x polygons table -> (point rows,
     polygon_id) via shuffle hash join on covering cells with hot-cell
     salting, then grouped exact refine.
@@ -205,6 +206,10 @@ def spatial_join_shuffle(spark: SparkSession, points: DataFrame,
     else:
         joined = probed.join(coverings, probed.probe_cell == coverings.cov_cell_id)
     joined = joined.drop("probe_cell", "cov_cell_id", "cov_level")
+    if return_candidates:
+        # pre-refine candidate set (with is_interior), for skew/latency
+        # instrumentation (tools/skew_bench.py) — not part of the API
+        return joined
 
     # broadcast-refine fast path: few-enough loops -> ship vertices to
     # every executor once and run the masked single-pass parity kernel;

@@ -1,0 +1,101 @@
+"""Skew instrumentation: does hot-cell salting actually bound task load?
+
+Scenario (the VERDICT-requested evidence): one polygon's covering cell
+receives ~30% of all probe points (a "everyone geotags the Eiffel tower"
+corpus).  With a SHUFFLE hash join (broadcast disabled — the regime the
+salted plan exists for) the hot covering cell is a single join key, so
+without key-splitting its entire row set lands on ONE task.  The tool
+measures rows-per-join-task for the same input with salting off vs on
+and prints one JSON line with max / median / p99 per-task rows.
+
+AQE is disabled for the measurement: AQE's skew-join can also split a
+skewed partition for sort-merge joins, which would mask whether OUR
+mechanism works; at 100 TB you want both (salting splits the KEY, AQE
+rebalances partitions), but this tool isolates the salting.
+
+Usage: python tools/skew_bench.py [n_points] [hot_fraction]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def per_task_rows(df):
+    """Rows per physical partition of df's current stage."""
+    counts = (df.withColumn("__pid", F.spark_partition_id())
+              .groupBy("__pid").count()
+              .select("count").toPandas()["count"].tolist())
+    counts.sort()
+    n = len(counts)
+    return {
+        "n_tasks_with_rows": n,
+        "max_rows": int(counts[-1]),
+        "median_rows": int(counts[n // 2]),
+        "p99_rows": int(counts[min(n - 1, int(n * 0.99))]),
+        "total_rows": int(sum(counts)),
+    }
+
+
+def main() -> None:
+    n_points = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    hot_frac = float(sys.argv[2]) if len(sys.argv) > 2 else 0.3
+
+    from s2spark.functions import columns as C
+    from s2spark.operators.spatial_join_shuffle import (polygons_to_df,
+                                                        spatial_join_shuffle)
+    from s2spark.plans.session import build_session
+    from s2spark.sources.fixtures import make_polygon
+
+    spark = build_session(app_name="skew-bench",
+                          **{
+                              # force the shuffle-join regime the salted
+                              # plan exists for, and isolate salting from
+                              # AQE's partition-level skew handling
+                              "spark.sql.autoBroadcastJoinThreshold": "-1",
+                              "spark.sql.adaptive.enabled": "false",
+                          })
+    spark.sparkContext.setLogLevel("ERROR")
+
+    mod = int(1.0 / hot_frac)
+    pts = (spark.range(n_points)
+           .select(F.col("id").alias("doc_id"),
+                   F.when(F.col("id") % mod == 0,
+                          48.85 + (F.col("id") % 1000) * 1e-7)
+                   .otherwise(((F.col("id") * 7919) % 17000 - 8500) / 100.0)
+                   .alias("lat"),
+                   F.when(F.col("id") % mod == 0,
+                          2.35 + (F.col("id") % 997) * 1e-7)
+                   .otherwise(((F.col("id") * 104729) % 35000 - 17500) / 100.0)
+                   .alias("lng")))
+    pts = C.with_cell_id(pts, "lat", "lng", out="cell_id", keep_xyz=True) \
+        .select("doc_id", "cell_id", "x", "y", "z")
+
+    polygons = {
+        1: make_polygon("48.5:2.0, 48.5:2.7, 49.2:2.7, 49.2:2.0;"),  # hot
+        2: make_polygon("-40:-40, -40:40, 40:40, 40:-40;"),
+    }
+    pdf = polygons_to_df(spark, polygons)
+
+    out = {"n_points": n_points, "hot_fraction": hot_frac}
+    for label, threshold in (("unsalted", 1 << 60), ("salted", 100_000)):
+        cand = spatial_join_shuffle(
+            spark, pts, pdf, hot_threshold=threshold, n_salt=16,
+            point_key="doc_id", hot_sample_fraction=0.01,
+            return_candidates=True)
+        out[label] = per_task_rows(cand)
+    u, s = out["unsalted"], out["salted"]
+    out["max_task_rows_ratio"] = round(u["max_rows"] / max(s["max_rows"], 1), 2)
+    out["salted_max_over_median"] = round(
+        s["max_rows"] / max(s["median_rows"], 1), 2)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
