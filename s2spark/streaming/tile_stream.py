@@ -84,3 +84,47 @@ def streaming_tile_topk(pages_stream: DataFrame, k: int = 10,
     counts = streaming_tile_counts(pages_stream, level, window, watermark)
     return (counts.orderBy(F.desc("n_pages"), F.asc("tile_id"))
             .limit(k))
+
+
+def rank_window_topk(counts_batch: DataFrame, k: int) -> DataFrame:
+    """Per-window top-k over FINALIZED windowed counts — the foreachBatch
+    companion of streaming_tile_topk_append.
+
+    Correctness leans on an append-mode invariant: a window's rows are
+    all emitted in the single micro-batch whose advancing watermark
+    closes that window, so ranking within the batch IS ranking within
+    the complete window.  The rank is an ordinary batch window function
+    (the input is a plain micro-batch DataFrame, not a stream).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("win").orderBy(F.desc("n_pages"), F.asc("tile_id"))
+    return (counts_batch
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def streaming_tile_topk_append(pages_stream: DataFrame, k: int = 10,
+                               level: int = 6, window: str = "10 seconds",
+                               watermark: str = "30 seconds"):
+    """BOUNDED-STATE per-window hottest-k: the production alternative to
+    streaming_tile_topk's complete-mode global ranking.
+
+    The windowed counts run in APPEND output mode, so the watermark
+    evicts each window's state once it closes and emits its final counts
+    exactly once — state stays bounded by (#open windows x #active
+    tiles) for the stream's whole lifetime, unlike complete mode (see
+    streaming_tile_topk).  The cost: ranking is per closed window (a
+    window's top-k is final and immutable), not a continuously-revised
+    global leaderboard.
+
+    Returns (counts_stream, batch_ranker): start the stream with
+    outputMode("append") and apply the ranker inside foreachBatch:
+
+        counts, ranker = streaming_tile_topk_append(stream, k=10)
+        q = (counts.writeStream.outputMode("append")
+             .foreachBatch(lambda bdf, _id: sink(ranker(bdf)))
+             .start())
+    """
+    counts = streaming_tile_counts(pages_stream, level, window, watermark)
+    return counts, (lambda bdf: rank_window_topk(bdf, k))

@@ -219,3 +219,63 @@ def test_streaming_tile_topk_matches_batch(spark, tmp_path):
                            ascending=[False, True]).reset_index(drop=True)[
         ["tile_id", "n_pages"]].values.tolist() == \
         batch[["tile_id", "n_pages"]].values.tolist()
+
+
+def test_streaming_tile_topk_append_bounded_state(spark, tmp_path):
+    """Append-mode per-window top-k (bounded state): the watermark closes
+    window W1 when later data arrives, W1's finalized counts are emitted
+    exactly once, and the foreachBatch ranker's top-k equals the batch
+    top-k over W1's rows.  W2 stays open (never emitted) — the price of
+    append semantics, asserted too."""
+    import glob
+    import os
+    import shutil
+
+    from s2spark.functions import columns as C
+    from s2spark.sources.pages import mine_coordinates, synthesize_pages
+    from s2spark.streaming.tile_stream import streaming_tile_topk_append
+
+    def rets(df, ts):
+        return df.select("url", "text", "lang",
+                         F.lit(ts).cast("timestamp").alias("warc_ts"))
+
+    pages = synthesize_pages(spark, 1500).cache()
+    split = F.pmod(F.xxhash64("url"), F.lit(3)) == 0   # deterministic split
+    early = rets(pages.where(~split), "2026-01-01 00:10:00")
+    late = rets(pages.where(split), "2026-01-02 00:00:00")
+
+    src_dir = str(tmp_path / "append_src")
+    os.makedirs(src_dir)
+    for i, df in enumerate((early, late)):
+        stage = str(tmp_path / f"stage_{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = os.path.join(src_dir, f"{i:04d}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1000 + i, 1000 + i))   # strict arrival order
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    counts, ranker = streaming_tile_topk_append(
+        stream, k=5, level=4, window="1 hour", watermark="10 seconds")
+
+    got = []
+    q = (counts.writeStream.outputMode("append")
+         .foreachBatch(lambda bdf, _id: got.extend(ranker(bdf).collect()))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    # only W1 (the early window) is closed and emitted
+    wins = {(r["win"]["start"].isoformat()) for r in got}
+    assert wins == {"2026-01-01T00:00:00"}
+    # equals the batch top-5 over exactly the early rows
+    geo = mine_coordinates(early)
+    batch = (C.with_cell_id(geo, "lat", "lng")
+             .groupBy(C.parent_for_level(F.col("cell_id"), 4).alias("tile_id"))
+             .agg(F.count(F.lit(1)).alias("n_pages"))
+             .orderBy(F.desc("n_pages"), F.asc("tile_id")).limit(5)
+             .collect())
+    got_sorted = sorted(got, key=lambda r: r["rank"])
+    assert [(r["tile_id"], r["n_pages"]) for r in got_sorted] == \
+        [(r["tile_id"], r["n_pages"]) for r in batch]
