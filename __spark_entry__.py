@@ -205,6 +205,79 @@ def _q_point_in_polygon_shuffle(spark, sf_dir):
     return out.select("doc_id", "polygon_id")
 
 
+# deterministic short-edge fixture over the documents table: 0-10 degree
+# box, ~0.5-1.5 degree edges — shared formula text between engines.  The
+# per-doc sub-microdegree jitter terms de-lattice the vertices: without
+# them the 0.01-degree grid produces exactly- and nearly-coincident
+# endpoints across edges, where the oracle's naive determinant sign is
+# fp noise while robust_ccw resolves the true orientation.
+_EDGE_LAT1 = "((doc_id * 7919) % 1000) / 100.0 + doc_id * 7e-7"
+_EDGE_LNG1 = "((doc_id * 104729) % 1000) / 100.0 + doc_id * 13e-7"
+_EDGE_LAT2 = (f"greatest(-89.9, least(89.9, {_EDGE_LAT1}"
+              " + ((doc_id * 31) % 200) / 100.0 - 1.0 + doc_id * 3e-7))")
+_EDGE_LNG2 = f"{_EDGE_LNG1} + ((doc_id * 53) % 200) / 100.0 - 1.0 + doc_id * 17e-7"
+
+
+def _edge_xyz_sql(lat: str, lng: str, p: str) -> list[str]:
+    return [
+        f"cos(radians({lat})) * cos(radians({lng})) AS {p}x",
+        f"cos(radians({lat})) * sin(radians({lng})) AS {p}y",
+        f"sin(radians({lat})) AS {p}z",
+    ]
+
+
+def _q_edge_crossing_join(spark, sf_dir):
+    """Edge-edge proper-crossing self-join through the per-edge-level
+    S2EdgeIndex hash join (operators.edge_join), graded against a
+    brute-force all-pairs determinant-sign oracle: RobustCrossing > 0
+    iff the four triangles ACB, BDA, CBD, DAC share an orientation
+    (S2EdgeUtil.cs:85-123) — for fixture points in general position the
+    orientation is the plain triple-product sign, which DuckDB computes
+    from the same endpoint formulas."""
+    from s2spark.operators.edge_join import edge_crossing_join
+    exprs = (_edge_xyz_sql(_EDGE_LAT1, _EDGE_LNG1, "a")
+             + _edge_xyz_sql(_EDGE_LAT2, _EDGE_LNG2, "b"))
+    edges = _read(spark, sf_dir, "documents").selectExpr("doc_id", *exprs)
+    out = edge_crossing_join(
+        edges.withColumnRenamed("doc_id", "edge_a"),
+        edges.withColumnRenamed("doc_id", "edge_b"))
+    return (out.where(F.col("edge_a") < F.col("edge_b"))
+            .select("edge_a", "edge_b"))
+
+
+def _edge_crossing_oracle_sql() -> str:
+    def det(a: str, b: str, c: str) -> str:
+        return (f"(({a}y)*({b}z) - ({a}z)*({b}y)) * ({c}x) + "
+                f"(({a}z)*({b}x) - ({a}x)*({b}z)) * ({c}y) + "
+                f"(({a}x)*({b}y) - ({a}y)*({b}x)) * ({c}z)")
+
+    exprs = ", ".join(_edge_xyz_sql(_EDGE_LAT1, _EDGE_LNG1, "a")
+                      + _edge_xyz_sql(_EDGE_LAT2, _EDGE_LNG2, "b"))
+    dabc = det("l.a", "l.b", "r.a")
+    dabd = det("l.a", "l.b", "r.b")
+    dcdb = det("r.a", "r.b", "l.b")
+    dcda = det("r.a", "r.b", "l.a")
+
+    def same(u: str, v: str) -> str:
+        return f"({u}x = {v}x AND {u}y = {v}y AND {u}z = {v}z)"
+
+    # RobustCrossing is DEGENERATE (result 0, never a crossing) when any
+    # two vertices from different edges coincide (S2EdgeUtil.cs:85-123);
+    # the lattice fixture produces exact shared endpoints, where the
+    # naive near-zero determinant sign is noise — exclude them explicitly
+    # (endpoint doubles come from identical formulas, so equality is exact)
+    degen = " OR ".join(same(u, v) for u in ("l.a", "l.b")
+                        for v in ("r.a", "r.b"))
+    return f"""
+WITH p AS (SELECT doc_id, {exprs} FROM documents)
+SELECT l.doc_id AS edge_a, r.doc_id AS edge_b
+FROM p l JOIN p r ON l.doc_id < r.doc_id
+WHERE NOT ({degen})
+  AND ((({dabc}) < 0 AND ({dabd}) > 0 AND ({dcdb}) < 0 AND ({dcda}) > 0)
+    OR (({dabc}) > 0 AND ({dabd}) < 0 AND ({dcdb}) > 0 AND ({dcda}) < 0))
+"""
+
+
 _STREAM_PIP_SEQ = itertools.count()
 
 
@@ -688,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_point_in_polygon": _q_point_in_polygon,
         "s2_point_in_polygon_shuffle": _q_point_in_polygon_shuffle,
         "stream_point_in_polygon": _q_stream_point_in_polygon,
+        "s2_edge_crossing_join": _q_edge_crossing_join,
         "s2_containment_ranges": _q_containment_ranges,
         "s2_rect_query": _q_rect_query,
         "s2_cap_query": _q_cap_query,
@@ -1177,6 +1251,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_point_in_polygon_shuffle": (
             f"WITH src AS ({_DOCS_GEO_SQL}), {CELL_ID_FROM_LATLNG_CTES}, "
             f"pts AS (SELECT doc_id, px, py, pz FROM encoded) {pip_union}"),
+        "s2_edge_crossing_join": _edge_crossing_oracle_sql(),
         # streaming micro-batches must reproduce the BATCH answer exactly
         "stream_point_in_polygon": (
             f"WITH src AS ({_DOCS_GEO_SQL}), {CELL_ID_FROM_LATLNG_CTES}, "

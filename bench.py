@@ -51,7 +51,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard", "dedup_cc_clusters", "text_decontamination",
     "text_repetition", "text_domain_stats", "text_doc_stats",
     "corpus_sample_stratified", "embedding_stats",
-    "stream_point_in_polygon",
+    "stream_point_in_polygon", "s2_edge_crossing_join",
 ]
 
 
