@@ -205,17 +205,18 @@ def _q_point_in_polygon_shuffle(spark, sf_dir):
     return out.select("doc_id", "polygon_id")
 
 
-# deterministic short-edge fixture over the documents table: 0-10 degree
-# box, ~0.5-1.5 degree edges — shared formula text between engines.  The
+# deterministic short-edge fixture over the documents table: 0-3 degree
+# box, <=0.2-degree edges (street-scale relative to the box, so candidate
+# volume stays linear in edge count) — shared formula text between engines.  The
 # per-doc sub-microdegree jitter terms de-lattice the vertices: without
 # them the 0.01-degree grid produces exactly- and nearly-coincident
 # endpoints across edges, where the oracle's naive determinant sign is
 # fp noise while robust_ccw resolves the true orientation.
-_EDGE_LAT1 = "((doc_id * 7919) % 1000) / 100.0 + doc_id * 7e-7"
-_EDGE_LNG1 = "((doc_id * 104729) % 1000) / 100.0 + doc_id * 13e-7"
+_EDGE_LAT1 = "((doc_id * 7919) % 600) / 200.0 + doc_id * 7e-7"
+_EDGE_LNG1 = "((doc_id * 104729) % 600) / 200.0 + doc_id * 13e-7"
 _EDGE_LAT2 = (f"greatest(-89.9, least(89.9, {_EDGE_LAT1}"
-              " + ((doc_id * 31) % 200) / 100.0 - 1.0 + doc_id * 3e-7))")
-_EDGE_LNG2 = f"{_EDGE_LNG1} + ((doc_id * 53) % 200) / 100.0 - 1.0 + doc_id * 17e-7"
+              " + ((doc_id * 31) % 200) / 666.0 - 0.15 + doc_id * 3e-7))")
+_EDGE_LNG2 = f"{_EDGE_LNG1} + ((doc_id * 53) % 200) / 666.0 - 0.15 + doc_id * 17e-7"
 
 
 def _edge_xyz_sql(lat: str, lng: str, p: str) -> list[str]:
