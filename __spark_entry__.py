@@ -635,15 +635,16 @@ def _q_token_count(spark, sf_dir):
 def _q_decontamination(spark, sf_dir):
     """Benchmark decontamination: eval set = doc_id % 13 == 0 (stand-in for
     a held-out benchmark), corpus = the rest; word-3-gram overlap flags."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)   # gram explode is map-heavy: fan out
     bench = docs.where(F.col("doc_id") % 13 == 0)
     corpus = docs.where(F.col("doc_id") % 13 != 0)
     return textstats.decontaminate(corpus, bench, n_words=3, threshold=0.05)
 
 
 def _q_repetition(spark, sf_dir):
-    return textstats.repetition_stats(_read(spark, sf_dir, "documents"),
-                                      n_words=3)
+    # _docs_par: gram building is map-heavy; the single-file test table
+    # would otherwise run it on one scan task
+    return textstats.repetition_stats(_docs_par(spark, sf_dir), n_words=3)
 
 
 def _q_entropy(spark, sf_dir):
