@@ -54,9 +54,14 @@ def expected_components(edges):
 def _run(spark, edges):
     df = spark.createDataFrame(
         [(int(a), int(b)) for a, b in edges], "id_a long, id_b long")
+    # driver-side union-find fast path (default for small edge sets)
     got = {r["node"]: r["component"]
            for r in connected_components(df).collect()}
     assert got == expected_components(edges)
+    # forced distributed large/small-star loop must agree exactly
+    dist = {r["node"]: r["component"]
+            for r in connected_components(df, driver_threshold=0).collect()}
+    assert dist == got
     return got
 
 
