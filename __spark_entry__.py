@@ -310,7 +310,11 @@ def _q_stream_point_in_polygon(spark, sf_dir):
     q = (joined.select("doc_id", "polygon_id")
          .writeStream.format("memory").queryName(name)
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        import shutil
+        shutil.rmtree(stage, ignore_errors=True)   # symlink staging dir
     return spark.table(name).select("doc_id", "polygon_id")
 
 
