@@ -182,17 +182,21 @@ def main() -> None:
     # warm up the session (JVM JIT, Arrow init) on a tiny query
     qs["s2_tile_counts"](spark, SF_DIR).collect()
     from pyspark.sql import functions as F
+    errors = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        # force EVERY output column to materialize: a bare count() lets
-        # Catalyst prune projection-only plans down to a scan row-count,
-        # which silently under-times map-only queries (encode, signatures,
-        # interpolate).  xxhash64 over all columns defeats pruning at the
-        # cost of one hash per row.
-        df.agg(F.sum(F.xxhash64(*[F.col(c) for c in df.columns])
-                     .cast("long"))).collect()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            df = qs[name](spark, SF_DIR)
+            # force EVERY output column to materialize: a bare count() lets
+            # Catalyst prune projection-only plans down to a scan row-count,
+            # which silently under-times map-only queries (encode,
+            # signatures, interpolate).  xxhash64 over all columns defeats
+            # pruning at the cost of one hash per row.
+            df.agg(F.sum(F.xxhash64(*[F.col(c) for c in df.columns])
+                         .cast("long"))).collect()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:   # noqa: BLE001 — one bad query must not
+            errors[name] = str(exc).splitlines()[0][:200]  # kill the round's bench
     spark.stop()
 
     pipeline = _scaling_run(PAGES_ROWS)
@@ -205,6 +209,8 @@ def main() -> None:
         "sf": SF_DIR,
         "pipeline": pipeline,
     }
+    if errors:
+        result["query_errors"] = errors
     print(json.dumps(result))
 
 
