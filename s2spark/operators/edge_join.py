@@ -216,8 +216,11 @@ def edge_crossing_join(edges_a: DataFrame, edges_b: DataFrame,
             key, *[prefix + c for c in EDGE_COLS],
             F.col("c.cell").alias("cell"), F.col("c.own").alias("own"))
 
-    a = keyed(edges_a, key_a, "a_")
-    b = keyed(edges_b, key_b, "b_")
+    # each keyed side feeds BOTH join branches (as probe in one, index in
+    # the other): materialize once (eager localCheckpoint, freed with the
+    # result) instead of re-running the cell UDF + explode per branch
+    a = keyed(edges_a, key_a, "a_").localCheckpoint()
+    b = keyed(edges_b, key_b, "b_").localCheckpoint()
     # probe(A) |><| index(B)  UNION  probe(B) |><| index(A): complete for
     # mixed levels (coarser side's index cell == finer side's probe
     # ancestor at the coarser level); same-level pairs match in both
