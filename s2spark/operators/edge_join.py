@@ -21,10 +21,12 @@ asymmetric index/probe hash join:
   * PROBE cells — the index cells plus their ancestors at every coarser
     S level (deduplicated; coarse ancestors of a 9-ring collapse to 1-4
     cells).
-  * JOIN — probe(A) |><| index(B) UNION probe(B) |><| index(A) on cell
-    equality.  For a pair (a, b) with level(a) <= level(b), the crossing
-    point's cell at level(a) appears both in a's index cells and in b's
-    probe ancestors, so the second branch finds it (and vice versa).
+  * JOIN — probe(A) |><| index(B) UNION index(A) |><| ancestors(B) on
+    cell equality.  Branch 1 finds every pair with level(b) <= level(a)
+    (a's probe set includes ancestors at b's level, and same-level pairs
+    meet own-to-own); branch 2 finds the strictly-finer-b remainder,
+    where b's probe-only ancestor at level(a) equals one of a's index
+    cells.
     Indexing each side only at its OWN level is what keeps coarse
     buckets linear: a level-0 bucket holds the few genuinely long edges
     plus fine edges' probe ancestors, never fine x fine pairs — the
@@ -221,16 +223,20 @@ def edge_crossing_join(edges_a: DataFrame, edges_b: DataFrame,
     # result) instead of re-running the cell UDF + explode per branch
     a = keyed(edges_a, key_a, "a_").localCheckpoint()
     b = keyed(edges_b, key_b, "b_").localCheckpoint()
-    # probe(A) |><| index(B)  UNION  probe(B) |><| index(A): complete for
-    # mixed levels (coarser side's index cell == finer side's probe
-    # ancestor at the coarser level); same-level pairs match in both
-    # branches and dedup below.
+    # probe(A) |><| index(B)  UNION  index(A) |><| ancestors(B): branch 1
+    # covers every pair with level(b) <= level(a) (a probes ancestors at
+    # all coarser S levels incl. b's, and same-level own-cells meet
+    # directly); branch 2 covers the strictly-finer-b remainder through
+    # b's NON-own ancestor cells — excluding b's own cells there keeps
+    # same-level pairs out of the second branch entirely, so the union
+    # carries no systematic duplicates into the dedup.
     cols = [key_a, key_b] + ["a_" + c for c in EDGE_COLS] \
         + ["b_" + c for c in EDGE_COLS]
     cand = (a.drop("own").join(b.where(F.col("own")).drop("own"), "cell")
             .select(*cols)
             .unionByName(
-                a.where(F.col("own")).drop("own").join(b.drop("own"), "cell")
+                a.where(F.col("own")).drop("own")
+                .join(b.where(~F.col("own")).drop("own"), "cell")
                 .select(*cols))
             .dropDuplicates([key_a, key_b]))
 
@@ -274,6 +280,7 @@ def candidate_pairs(edges_a: DataFrame, edges_b: DataFrame,
     return (a.drop("own").join(b.where(F.col("own")).drop("own"), "cell")
             .select(key_a, key_b)
             .unionByName(
-                a.where(F.col("own")).drop("own").join(b.drop("own"), "cell")
+                a.where(F.col("own")).drop("own")
+                .join(b.where(~F.col("own")).drop("own"), "cell")
                 .select(key_a, key_b))
             .dropDuplicates([key_a, key_b]))
