@@ -384,7 +384,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             if ru != rv:                   # union by min id
                 lo, hi = (ru, rv) if ru < rv else (rv, ru)
                 parent[hi] = lo
-        comp = [(n, find(n)) for n in parent]
+        comp = [(n, find(n)) for n in list(parent)]
         spark = pairs.sparkSession
         return spark.createDataFrame(comp, "node long, component long")
 
