@@ -161,7 +161,15 @@ def _scaling_run(n_pages: int, n_pairs: int | None = None) -> dict:
     attempt's (raw, control) kept in `attempts`."""
     if n_pairs is None:
         n_pairs = int(os.environ.get("S2SPARK_SCALE_PAIRS", "3"))
-    pairs = [_scaling_pair(n_pages) for _ in range(n_pairs)]
+    pairs = []
+    for i in range(n_pairs):
+        p = _scaling_pair(n_pages)
+        # stream each pair to stderr the moment it lands: a harness
+        # timeout mid-run must not erase already-measured evidence
+        # (stdout stays reserved for the single final JSON line)
+        print(f"[scaling pair {i + 1}/{n_pairs}] " + json.dumps(p),
+              file=sys.stderr, flush=True)
+        pairs.append(p)
     pairs.sort(key=lambda p: p["scaling_efficiency"])
     median = pairs[(len(pairs) - 1) // 2]
     median["attempts"] = [{"scaling_efficiency": p["scaling_efficiency"],
