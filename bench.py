@@ -94,7 +94,10 @@ spark.sparkContext.setLogLevel("ERROR")
 bench._run_pipeline(spark, 50_000)   # warm-up: JIT + Arrow + broadcasts
 bench._run_pipeline(spark, 50_000)   # second warm-up: plan-path JIT settles
 best = None; matched = 0
-for _ in range(3):                   # best-of-3: hypervisor steal varies
+# best-of-2 timed runs: guards single steal spikes inside a pair, while
+# the MEDIAN across unconditional pairs (bench._scaling_run) absorbs
+# pair-level noise — best-of-3 here pushed a 3-pair run past 80 minutes
+for _ in range({repeats}):
     t0 = time.time()
     matched = bench._run_pipeline(spark, n_pages)
     dt = time.time() - t0
@@ -119,7 +122,9 @@ def _scaling_pair(n_pages: int) -> dict:
     import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    script = _CHILD_SCRIPT.format(repo=repo)
+    script = _CHILD_SCRIPT.format(
+        repo=repo,
+        repeats=int(os.environ.get("S2SPARK_CHILD_REPEATS", "2")))
     out = {}
     big = SCALE_CORES
     small = max(1, big // 4)
