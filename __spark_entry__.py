@@ -28,7 +28,9 @@ from s2spark.kernel import cellid as ci
 from s2spark.operators import dedup, similarity, textstats, tiling
 from s2spark.operators.spatial_join import points_with_cells, spatial_join
 from s2spark.oracle.sql import (CELL_ID_FROM_LATLNG_CTES, encode_query,
-                                sql_cell_token, sql_parent_for_level)
+                                escape_re_sql, md5_long, ratio, round_d,
+                                sql_cell_token, sql_parent_for_level,
+                                sum_bigint)
 from s2spark.sources.fixtures import make_polygon
 from s2spark.sources.pages import mine_coordinates, synthesize_pages
 
@@ -312,10 +314,20 @@ def _q_stream_point_in_polygon(spark, sf_dir):
          .outputMode("append").trigger(availableNow=True).start())
     try:
         q.awaitTermination()
+        # capture the STREAMING physical plan (last executed micro-batch)
+        # before handing back the memory-sink table: the sink table's own
+        # plan is just a local scan, so without this the plan audit would
+        # never see the stream-static broadcast join it exists to check
+        try:
+            stream_plan = q._jsq.explainInternal(False)   # physical plan only
+        except Exception:   # noqa: BLE001 — plan capture must never fail the query
+            stream_plan = None
     finally:
         import shutil
         shutil.rmtree(stage, ignore_errors=True)   # symlink staging dir
-    return spark.table(name).select("doc_id", "polygon_id")
+    out = spark.table(name).select("doc_id", "polygon_id")
+    out._s2spark_stream_plan = stream_plan   # read by tools/plan_audit.py
+    return out
 
 
 _QUERY_RECTS = {
@@ -1159,6 +1171,7 @@ _TOKS_CTE = (f"norm AS (SELECT doc_id, lang, {_NORM_SQL} AS t FROM documents), "
 
 
 def _decontamination_oracle_sql(threshold: float = 0.05) -> str:
+    frac = ratio("coalesce(h.n_overlap, 0)", "len(c.g)")
     return f"""
 WITH {_TOKS_CTE},
 grams AS (SELECT doc_id, list_distinct({_WORD_GRAMS_SQL}) AS g FROM toks),
@@ -1169,39 +1182,41 @@ hits AS (SELECT c.doc_id, count(*) AS n_overlap
          JOIN bench USING (gram) GROUP BY c.doc_id)
 SELECT c.doc_id, len(c.g) AS n_grams,
        coalesce(h.n_overlap, 0) AS n_overlap,
-       round(coalesce(h.n_overlap, 0) / greatest(len(c.g), 1), 6) AS overlap_frac,
-       (round(coalesce(h.n_overlap, 0) / greatest(len(c.g), 1), 6) >= {threshold}) AS contaminated
+       {frac} AS overlap_frac,
+       ({frac} >= {threshold}) AS contaminated
 FROM corpus c LEFT JOIN hits h USING (doc_id)
 """
 
 
 def _repetition_oracle_sql() -> str:
+    dup = ratio("len(ga) - len(list_distinct(ga))", "len(ga)")
     return f"""
 WITH {_TOKS_CTE},
 g AS (SELECT doc_id, {_WORD_GRAMS_SQL} AS ga FROM toks)
 SELECT doc_id, len(ga) AS n_grams, len(list_distinct(ga)) AS n_distinct,
-       round((len(ga) - len(list_distinct(ga))) / greatest(len(ga), 1), 6) AS dup_frac
+       {dup} AS dup_frac
 FROM g
 """
 
 
 def _domain_stats_oracle_sql() -> str:
-    bpe = textstats.BPE_TOKEN_PATTERN.replace("'", "''")
+    bpe = escape_re_sql(textstats.BPE_TOKEN_PATTERN)
     return f"""
 SELECT source AS domain, count(*) AS n_docs,
        count(DISTINCT lang) AS n_langs,
-       sum(length(text))::BIGINT AS total_chars,
-       round(avg(len(string_split({_NORM_SQL}, ' '))), 4) AS avg_ws_tokens,
-       sum(len(regexp_extract_all(text, '{bpe}')))::BIGINT AS total_bpe_tokens
+       {sum_bigint('length(text)')} AS total_chars,
+       {round_d(f"avg(len(string_split({_NORM_SQL}, ' ')))", 4)} AS avg_ws_tokens,
+       {sum_bigint(f"len(regexp_extract_all(text, '{bpe}'))")} AS total_bpe_tokens
 FROM documents GROUP BY source
 """
 
 
 def _stratified_sample_oracle_sql() -> str:
-    return """
+    bucket = md5_long("doc_id::VARCHAR", hex_digits=8)
+    return f"""
 SELECT doc_id, lang, bucket AS sample_bucket FROM (
   SELECT doc_id, lang,
-         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+         {bucket} % 100 AS bucket
   FROM documents)
 WHERE bucket < (CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30 ELSE 15 END)
 """
@@ -1372,7 +1387,7 @@ wc AS (SELECT doc_id, w, count(*)::DOUBLE AS c FROM tok GROUP BY doc_id, w),
 agg AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
         sum(c * log2(c)) AS clogc FROM wc GROUP BY doc_id)
 SELECT doc_id, n_words::BIGINT AS n_words, n_distinct,
-       round(log2(n_words) - clogc / n_words, 6) AS entropy_bits FROM agg
+       {round_d('log2(n_words) - clogc / n_words', 6)} AS entropy_bits FROM agg
 """,
         "multimodal_features": _multimodal_oracle_sql(),
         "similarity_lsh_topk": _lsh_topk_oracle_sql(),
@@ -1387,12 +1402,12 @@ SELECT doc_id, n_words::BIGINT AS n_words, n_distinct,
             "FROM documents)"),
         "text_token_count": f"""
 WITH c AS (SELECT doc_id, text,
-    len(regexp_extract_all(text, '{textstats.BPE_TOKEN_PATTERN.replace(chr(39), chr(39) * 2)}')) AS n_bpe
+    len(regexp_extract_all(text, '{escape_re_sql(textstats.BPE_TOKEN_PATTERN)}')) AS n_bpe
     FROM documents)
 SELECT doc_id,
     len(string_split({_NORM_SQL}, ' ')) AS n_ws_tokens,
     n_bpe AS n_bpe_tokens,
-    round(strlen(text)::DOUBLE / greatest(n_bpe, 1)::DOUBLE, 6) AS bytes_per_token
+    {ratio('strlen(text)::DOUBLE', 'n_bpe')} AS bytes_per_token
 FROM c
 """,
         "text_doc_stats": f"""
@@ -1404,9 +1419,9 @@ feat AS (SELECT doc_id, lang,
     len(list_intersect(string_split(norm, ' '), ['the','and','of','a','to','in'])) AS n_stop
     FROM base)
 SELECT lang, count(*) AS n_docs,
-    round(avg(n_tokens), 4) AS avg_tokens,
-    round(avg(round(n_alpha / greatest(n_chars_q, 1), 6)), 4) AS avg_alpha_ratio,
-    round(avg(round(n_stop / greatest(n_tokens, 1), 6)), 4) AS avg_stopword_ratio
+    {round_d('avg(n_tokens)', 4)} AS avg_tokens,
+    {round_d(f"avg({ratio('n_alpha', 'n_chars_q')})", 4)} AS avg_alpha_ratio,
+    {round_d(f"avg({ratio('n_stop', 'n_tokens')})", 4)} AS avg_stopword_ratio
 FROM feat GROUP BY lang
 """,
         "text_decontamination": _decontamination_oracle_sql(),
@@ -1414,9 +1429,9 @@ FROM feat GROUP BY lang
         "text_domain_stats": _domain_stats_oracle_sql(),
         "corpus_sample_stratified": _stratified_sample_oracle_sql(),
         "similarity_bruteforce_topk": _sim_bruteforce_oracle_sql(),
-        "embedding_stats": """
+        "embedding_stats": f"""
 SELECT label, count(*) AS n_vecs,
-       round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
+       {round_d('avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))', 4)} AS avg_norm
 FROM embeddings GROUP BY label
 """,
         "relational_revenue_by_nation": """

@@ -28,6 +28,18 @@ PAGES_ROWS = int(os.environ.get("S2SPARK_BENCH_PAGES", "12000000"))
 # full 4x two-cluster-size criterion; the page count amortizes the ~3 s of
 # driver-side planning that a 10^12-row cluster job would amortize trivially.
 SCALE_CORES = int(os.environ.get("S2SPARK_SCALE_CORES", str(min(8, CPUS))))
+# Wall-clock budget for the WHOLE bench run.  Round 3's artifact was lost to
+# a harness timeout (rc=124) during scaling pair 3: per-query timings were
+# only emitted in the final JSON, so everything already measured vanished.
+# Three defenses now: (1) every query timing and every scaling pair streams
+# to stderr the moment it lands, (2) a full-result JSON checkpoint is
+# printed to stderr after the query phase and after each pair, (3) this
+# budget stops launching NEW scaling pairs when the next pair (estimated
+# from the slowest completed one) would not finish before the budget, so
+# the final stdout JSON is printed instead of being killed mid-pair.  The
+# trim decision depends only on wall-clock, never on measured efficiency —
+# the unbiased fixed-pair median policy is unchanged.
+BUDGET_SEC = float(os.environ.get("S2SPARK_BENCH_BUDGET", "3000"))
 
 # headline operator queries timed on the shared session
 BENCH_QUERIES = [
@@ -153,7 +165,21 @@ def _scaling_pair(n_pages: int) -> dict:
     return out
 
 
-def _scaling_run(n_pages: int, n_pairs: int | None = None) -> dict:
+def _median_of(pairs: list[dict], n_pairs: int, skipped: int) -> dict:
+    ordered = sorted(pairs, key=lambda p: p["scaling_efficiency"])
+    median = dict(ordered[(len(ordered) - 1) // 2])
+    median["attempts"] = [{"scaling_efficiency": p["scaling_efficiency"],
+                           "control_efficiency": p["control_efficiency"]}
+                          for p in pairs]
+    median["policy"] = "median of %d unconditional pairs" % n_pairs
+    if skipped:
+        median["pairs_skipped_due_to_budget"] = skipped
+    return median
+
+
+def _scaling_run(n_pages: int, n_pairs: int | None = None,
+                 deadline: float | None = None,
+                 checkpoint_cb=None) -> dict:
     """A FIXED number of scaling pairs (default 3, S2SPARK_SCALE_PAIRS to
     override), reporting the MEDIAN pair by raw scaling efficiency.  This
     host is a shared VM with intermittent hypervisor steal: single pairs
@@ -163,31 +189,48 @@ def _scaling_run(n_pages: int, n_pairs: int | None = None) -> dict:
     the best — that conditions the headline on the acceptance threshold
     and upward-biases it exactly at the pass/fail boundary, so now every
     pair runs unconditionally and the median is the headline, with every
-    attempt's (raw, control) kept in `attempts`."""
+    attempt's (raw, control) kept in `attempts`.
+
+    `deadline` (epoch sec): a new pair is only launched if the slowest
+    completed pair would fit again (x1.15 margin) before the deadline —
+    the first pair always runs.  Skipping is recorded in the result and
+    depends only on wall-clock, never on the measured efficiencies, so
+    it cannot bias the median toward the pass threshold."""
     if n_pairs is None:
         n_pairs = int(os.environ.get("S2SPARK_SCALE_PAIRS", "3"))
     pairs = []
+    skipped = 0
+    worst_pair_sec = 0.0
     for i in range(n_pairs):
+        if pairs and deadline is not None:
+            remaining = deadline - time.time()
+            if remaining < 1.15 * worst_pair_sec:
+                skipped = n_pairs - i
+                print(f"[scaling] budget: skipping {skipped} remaining "
+                      f"pair(s) ({remaining:.0f}s left < 1.15 x "
+                      f"{worst_pair_sec:.0f}s slowest pair)",
+                      file=sys.stderr, flush=True)
+                break
+        t0 = time.time()
         p = _scaling_pair(n_pages)
+        worst_pair_sec = max(worst_pair_sec, time.time() - t0)
         # stream each pair to stderr the moment it lands: a harness
         # timeout mid-run must not erase already-measured evidence
         # (stdout stays reserved for the single final JSON line)
         print(f"[scaling pair {i + 1}/{n_pairs}] " + json.dumps(p),
               file=sys.stderr, flush=True)
         pairs.append(p)
-    pairs.sort(key=lambda p: p["scaling_efficiency"])
-    median = pairs[(len(pairs) - 1) // 2]
-    median["attempts"] = [{"scaling_efficiency": p["scaling_efficiency"],
-                           "control_efficiency": p["control_efficiency"]}
-                          for p in pairs]
-    median["policy"] = "median of %d unconditional pairs" % n_pairs
-    return median
+        if checkpoint_cb is not None:
+            checkpoint_cb(_median_of(pairs, n_pairs, 0))
+    return _median_of(pairs, n_pairs, skipped)
 
 
 def main() -> None:
     from s2spark.plans.session import build_session
     import __spark_entry__ as entry
 
+    t_start = time.time()
+    deadline = t_start + BUDGET_SEC
     qs = entry.queries()
     timings = {}
     spark = build_session(master=f"local[{CPUS}]")
@@ -196,7 +239,7 @@ def main() -> None:
     qs["s2_tile_counts"](spark, SF_DIR).collect()
     from pyspark.sql import functions as F
     errors = {}
-    for name in BENCH_QUERIES:
+    for i, name in enumerate(BENCH_QUERIES):
         t0 = time.time()
         try:
             df = qs[name](spark, SF_DIR)
@@ -208,11 +251,14 @@ def main() -> None:
             df.agg(F.sum(F.xxhash64(*[F.col(c) for c in df.columns])
                          .cast("long"))).collect()
             timings[name] = round(time.time() - t0, 3)
+            # stream each timing the moment it lands (see BUDGET_SEC note)
+            print(f"[query {i + 1}/{len(BENCH_QUERIES)}] "
+                  f"{name}: {timings[name]}s", file=sys.stderr, flush=True)
         except Exception as exc:   # noqa: BLE001 — one bad query must not
             errors[name] = str(exc).splitlines()[0][:200]  # kill the round's bench
+            print(f"[query {i + 1}/{len(BENCH_QUERIES)}] {name}: "
+                  f"ERROR {errors[name]}", file=sys.stderr, flush=True)
     spark.stop()
-
-    pipeline = _scaling_run(PAGES_ROWS)
 
     result = {
         "metric": "s2 spatial-join + tiling throughput and operator latencies",
@@ -220,10 +266,23 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": SF_DIR,
-        "pipeline": pipeline,
+        "pipeline": None,
     }
     if errors:
         result["query_errors"] = errors
+
+    def checkpoint(pipeline: dict | None) -> None:
+        # full-result JSON on stderr after every completed phase: if the
+        # harness kills the process anyway, the artifact's raw output
+        # still carries everything measured so far in parseable form
+        snap = dict(result)
+        snap["pipeline"] = pipeline
+        print("BENCH-CHECKPOINT " + json.dumps(snap),
+              file=sys.stderr, flush=True)
+
+    checkpoint(None)
+    result["pipeline"] = _scaling_run(PAGES_ROWS, deadline=deadline,
+                                      checkpoint_cb=checkpoint)
     print(json.dumps(result))
 
 

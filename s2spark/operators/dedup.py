@@ -337,7 +337,7 @@ def _edge_checksum(edges: DataFrame) -> tuple:
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_rounds: int = 16,
-                         driver_threshold: int = 2_000_000) -> DataFrame:
+                         driver_threshold: int = 1_000_000) -> DataFrame:
     """(node, component) for every node in the pair graph, where component
     is the MINIMUM node id in the node's connected component.
 
@@ -357,18 +357,36 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     On convergence the edge set IS the component map: (v, m) with m the
     component minimum; minima themselves have no outgoing edge.
 
+    Pairs with a NULL endpoint are dropped up front (both regimes): a
+    null id cannot name a component, and keeping the semantics identical
+    across regimes is what makes the two-regime plan transparent.
+
     Two-regime plan (same pattern as the join's broadcast-vs-shuffle cost
     model): an edge set small enough to collect (<= driver_threshold
-    pairs, checked with a count — ~30 MB at the default) runs a
-    driver-side union-find instead, trading ~6 distributed rounds x 4
-    stages of fixed job overhead for one collect.  A near-dup graph is
-    usually tiny relative to its corpus even at 100 TB; the iterative
-    O(log n) path remains for the ones that aren't.  Pass
-    driver_threshold=0 to force the distributed loop.
+    pairs) runs a driver-side union-find instead, trading ~6 distributed
+    rounds x 4 stages of fixed job overhead for one collect.  The gate and
+    the data come from ONE `limit(threshold+1).collect()` — no separate
+    count() that would evaluate the (possibly non-deterministic) upstream
+    lineage twice, and for an over-threshold graph the scan stops after
+    threshold+1 rows instead of counting everything.  Memory: collected
+    Rows cost ~100-150 B each on the driver (object headers dominate the
+    16 raw bytes), so the 1M default holds ~150 MB transiently before
+    being condensed into int dicts.  A near-dup graph is usually tiny
+    relative to its corpus even at 100 TB; the iterative O(log n) path
+    remains for the ones that aren't.  Pass driver_threshold=0 to force
+    the distributed loop.
     """
-    if driver_threshold > 0 and pairs.count() <= driver_threshold:
-        rows = pairs.select(F.col(id_a).cast("long").alias("u"),
-                            F.col(id_b).cast("long").alias("v")).collect()
+    pairs = (pairs.select(F.col(id_a).cast("long").alias(id_a),
+                          F.col(id_b).cast("long").alias(id_b))
+             .where(F.col(id_a).isNotNull() & F.col(id_b).isNotNull()))
+    if driver_threshold > 0:
+        rows = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+                .limit(driver_threshold + 1).collect())
+        if len(rows) > driver_threshold:
+            rows = None                # over budget: distributed loop below
+    else:
+        rows = None
+    if rows is not None:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -445,6 +463,10 @@ def dedup_clusters(documents: DataFrame, text_col: str = "text",
     # localCheckpoint (not persist) so the blocks are freed by the
     # ContextCleaner when the caller drops the result, instead of
     # accumulating in executor storage across calls in a long session.
+    # Tradeoff: lineage is discarded, so an executor lost mid-job (spot
+    # nodes, dynamic-allocation decommission) cannot recompute its blocks
+    # and the job fails — on preemptible clusters prefer persist() with an
+    # unpersist hook, or reliable checkpointing to shared storage.
     pairs = verified_near_dup_pairs(documents, text_col, key_col, n,
                                     num_hashes, bands,
                                     threshold).localCheckpoint()

@@ -73,13 +73,6 @@ def _fit_levels(ax, ay, az, bx, by, bz) -> np.ndarray:
     return np.clip(lv, 0, ci.MAX_LEVEL).astype(np.int64)
 
 
-def max_edge_level(edges: DataFrame) -> int:
-    """Coarsest fitting level: MIN_WIDTH.get_max_level(longest edge angle)."""
-    row = edges.select(F.max(_edge_angle()).alias("m")).collect()[0]
-    longest = float(row["m"] or 0.0) or 1e-10
-    return max(0, min(ci.MAX_LEVEL, metrics.MIN_WIDTH.get_max_level(longest)))
-
-
 def _level_set(edges_a: DataFrame, edges_b: DataFrame,
                max_levels: int) -> tuple[int, ...]:
     """Bounded ascending level set S chosen from the FIT-LEVEL HISTOGRAM.
@@ -204,6 +197,14 @@ def edge_crossing_join(edges_a: DataFrame, edges_b: DataFrame,
     `level` forces a single dataset-global level (legacy behavior);
     by default each edge indexes at its own quantized fitting level
     (at most `max_levels` distinct levels — see module docstring).
+
+    Construction cost note: unless `level` is forced, CONSTRUCTING this
+    DataFrame runs two small Spark jobs (the <=31-row per-side fit-level
+    histograms in _level_set) — the level set parameterizes the cell UDF,
+    so it cannot be deferred into the plan.  The heavy work (cell explode
+    of both sides) is a LAZY localCheckpoint: nothing beyond the
+    histograms runs until the caller's first action, so explain()/plan
+    audits on the result stay cheap.
     """
     levels = (level,) if level is not None \
         else _level_set(edges_a, edges_b, max_levels)
@@ -219,10 +220,17 @@ def edge_crossing_join(edges_a: DataFrame, edges_b: DataFrame,
             F.col("c.cell").alias("cell"), F.col("c.own").alias("own"))
 
     # each keyed side feeds BOTH join branches (as probe in one, index in
-    # the other): materialize once (eager localCheckpoint, freed with the
-    # result) instead of re-running the cell UDF + explode per branch
-    a = keyed(edges_a, key_a, "a_").localCheckpoint()
-    b = keyed(edges_b, key_b, "b_").localCheckpoint()
+    # the other): checkpoint once instead of re-running the cell UDF +
+    # explode per branch.  LAZY so plan-only consumers (explain, audits)
+    # trigger no jobs; it materializes with the caller's first action and
+    # both branches then read the stored blocks.  Tradeoff: localCheckpoint
+    # discards lineage, so losing an executor mid-job (spot nodes, dynamic
+    # deallocation) cannot recompute the lost blocks — on such clusters
+    # prefer persist() + an unpersist hook, or reliable checkpointing to
+    # shared storage; in exchange, blocks are freed by the ContextCleaner
+    # when the result is dropped instead of pinning executor storage.
+    a = keyed(edges_a, key_a, "a_").localCheckpoint(eager=False)
+    b = keyed(edges_b, key_b, "b_").localCheckpoint(eager=False)
     # probe(A) |><| index(B)  UNION  index(A) |><| ancestors(B): branch 1
     # covers every pair with level(b) <= level(a) (a probes ancestors at
     # all coarser S levels incl. b's, and same-level own-cells meet

@@ -137,6 +137,7 @@ def spatial_join_shuffle(spark: SparkSession, points: DataFrame,
                          hot_sample_fraction: float = 0.001,
                          refine_salt: int = 16,
                          refine_broadcast_loops: int = 10_000,
+                         refine_broadcast_vertices: int = 1_000_000,
                          return_candidates: bool = False) -> DataFrame:
     """points (leaf cell_col + x,y,z) x polygons table -> (point rows,
     polygon_id) via shuffle hash join on covering cells with hot-cell
@@ -152,13 +153,18 @@ def spatial_join_shuffle(spark: SparkSession, points: DataFrame,
     reliable, and borderline flips only change load balance, never results.
     Pass 1.0 for the exact full-pass count.
 
-    refine_broadcast_loops: when the polygon side has at most this many
-    loop rows, the exact refine runs as the broadcast-vertices pandas UDF
+    refine_broadcast_loops / refine_broadcast_vertices: when the polygon
+    side has at most this many loop rows AND at most this many total
+    vertices, the exact refine runs as the broadcast-vertices pandas UDF
     (same masked single-pass kernel as the broadcast join) instead of the
     cogrouped refine — the shuffle plan exists for the non-broadcastable
     COVERING side, but a polygon set whose raw vertices fit in a
     broadcast shouldn't pay the cogroup's two exchanges + group funnel.
-    Set to 0 to force the cogroup path.
+    The VERTEX budget is what actually bounds broadcast bytes (~24 B raw
+    per vertex; 1M vertices ~ 25 MB of arrays): loop count alone would
+    admit 10k detailed admin boundaries whose vertex payload is GBs and
+    OOM the driver.  Both gates come from one cheap aggregate over the
+    loop table.  Set either to 0 to force the cogroup path.
     """
     if coverings is None:
         coverings = build_coverings_distributed(polygons_df)
@@ -211,11 +217,18 @@ def spatial_join_shuffle(spark: SparkSession, points: DataFrame,
         # instrumentation (tools/skew_bench.py) — not part of the API
         return joined
 
-    # broadcast-refine fast path: few-enough loops -> ship vertices to
-    # every executor once and run the masked single-pass parity kernel;
-    # skips the exterior/interior split union and the cogroup's exchanges
-    n_loops = polygons_df.count()
-    if 0 < n_loops <= refine_broadcast_loops:
+    # broadcast-refine fast path: few-enough loops AND vertices -> ship
+    # vertices to every executor once and run the masked single-pass
+    # parity kernel; skips the exterior/interior split union and the
+    # cogroup's exchanges.  One aggregate yields both gate inputs; the
+    # vertex sum is the byte bound (see docstring).
+    stats = polygons_df.agg(
+        F.count(F.lit(1)).alias("n_loops"),
+        F.coalesce(F.sum(F.size("vertices")), F.lit(0)).alias("n_verts"),
+    ).collect()[0]
+    n_loops, n_verts = int(stats["n_loops"]), int(stats["n_verts"])
+    if (0 < n_loops <= refine_broadcast_loops
+            and 0 < n_verts <= refine_broadcast_vertices):
         from .spatial_join import _make_contains_udf
         polys: dict[int, list] = {}
         for row in polygons_df.collect():

@@ -95,6 +95,67 @@ def sql_parent_for_level(expr: str, level: int) -> str:
     return f"(({expr}) & {-lsb} | {lsb})"
 
 
+# ---------------------------------------------------------------------------
+# Dialect-parity helpers — the known Spark/DuckDB divergence classes.
+#
+# The driver's correctness gate stringifies both result sets (via pandas)
+# and hashes them, so a value that is numerically equal but STRINGIFIES
+# differently is a hash mismatch.  Three classes have bitten in past
+# rounds; every new oracle should route through these helpers instead of
+# re-deriving the workarounds:
+#
+# 1. HUGEINT aggregates.  DuckDB's sum() over any integer type returns
+#    HUGEINT (int128).  pandas has no int128, so the column arrives as
+#    float64/object and stringifies as '1.23e+08' while Spark's BIGINT
+#    prints '123000000' — hash mismatch with identical values (the round-2
+#    text_domain_stats artifact).  -> sum_bigint().  count(*) and len()
+#    already return BIGINT and are safe.
+# 2. Float formatting.  Spark and DuckDB print different digit counts for
+#    the same double; any float output column must be rounded to a fixed
+#    number of decimals ON BOTH SIDES (Spark F.round(col, n) <-> round_d).
+#    Integer division differs too: DuckDB `/` on integers yields double,
+#    Spark yields... also double (ANSI off) — but guard denominators with
+#    greatest(den, 1) so 0-denominators agree -> ratio().
+# 3. Regexp dialect.  DuckDB uses RE2: no backreferences, no lookaround,
+#    and '' quoting inside SQL strings.  Keep patterns RE2-portable (the
+#    Spark side is java.util.regex, a superset) and escape via
+#    escape_re_sql() rather than ad-hoc .replace().
+#
+# Deterministic hashing: Spark xxhash64 has no DuckDB twin, so oracle-side
+# deterministic "hashes" derive from md5 hex -> BIGINT (md5_long). Spark
+# queries that must match use the same md5-prefix construction, not
+# xxhash64.
+# ---------------------------------------------------------------------------
+
+
+def sum_bigint(expr: str) -> str:
+    """SUM(...) cast to BIGINT (divergence class 1: HUGEINT)."""
+    return f"sum({expr})::BIGINT"
+
+
+def round_d(expr: str, nd: int = 6) -> str:
+    """Fixed-decimal rounding for float output columns (class 2)."""
+    return f"round({expr}, {nd})"
+
+
+def ratio(num: str, den: str, nd: int = 6) -> str:
+    """round(num / max(den,1), nd) — zero-safe ratio, rounded (class 2)."""
+    return f"round(({num}) / greatest({den}, 1), {nd})"
+
+
+def md5_long(expr: str, hex_digits: int = 15) -> str:
+    """Deterministic BIGINT from an md5 hex prefix (<=15 digits stays
+    within signed-64 positive range; both engines build the same value
+    from the same md5 string)."""
+    return f"('0x' || substr(md5({expr}), 1, {hex_digits}))::BIGINT"
+
+
+def escape_re_sql(pattern: str) -> str:
+    """Escape a (RE2-portable) regex for embedding in a DuckDB SQL string
+    literal (class 3)."""
+    return pattern.replace("'", "''")
+
+
 def sql_cell_token(expr: str) -> str:
     """Biased id -> reference hex token ('X' for 0-raw)."""
     raw = f"xor(({expr})::BIGINT, (-9223372036854775807 - 1)::BIGINT)"

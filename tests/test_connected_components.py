@@ -90,6 +90,46 @@ def test_cc_disjoint_cliques_and_order_insensitivity(spark):
     assert got[7] == 7  # self-edge node is its own singleton component
 
 
+def test_cc_driver_threshold_boundary(spark):
+    """The two-regime gate must be output-invisible AT the boundary: the
+    same graph run just under, exactly at, and just over driver_threshold
+    (and with the loop forced via threshold=0) yields identical maps.
+    Guards the driver union-find / distributed large-small-star
+    equivalence as either path evolves."""
+    rng = np.random.default_rng(99)
+    edges = [(int(a), int(b))
+             for a, b in rng.integers(0, 40, size=(11, 2)) if a != b]
+    n_pairs = len(edges)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a long, id_b long")
+    runs = {}
+    for thr in (0,              # forced distributed loop
+                n_pairs - 1,    # gate rejects: collect sees thr+1 rows
+                n_pairs,        # gate accepts exactly at the boundary
+                n_pairs + 50):  # comfortably under
+        runs[thr] = {r["node"]: r["component"]
+                     for r in connected_components(
+                         df, driver_threshold=thr).collect()}
+    expect = expected_components(edges)
+    for thr, got in runs.items():
+        assert got == expect, f"threshold={thr} diverged"
+
+
+def test_cc_null_endpoints_dropped_both_regimes(spark):
+    """Pairs with a NULL endpoint are dropped identically by the driver
+    fast path and the distributed loop (a null id can't name a
+    component; the driver path used to crash on int(None))."""
+    rows = [(1, 2), (2, 3), (None, 9), (9, None), (None, None), (7, 8)]
+    df = spark.createDataFrame(rows, "id_a long, id_b long")
+    expect = expected_components([(1, 2), (2, 3), (7, 8)])
+    fast = {r["node"]: r["component"]
+            for r in connected_components(df).collect()}
+    dist = {r["node"]: r["component"]
+            for r in connected_components(df, driver_threshold=0).collect()}
+    assert fast == expect
+    assert dist == expect
+
+
 def test_dedup_clusters_end_to_end(spark):
     # corpus: two exact-ish near-dup families + unique docs
     base_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4

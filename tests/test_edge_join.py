@@ -107,6 +107,31 @@ def test_random_crossings_match_brute_force(spark):
     assert got == expect
 
 
+def test_face_corner_edges_match_brute_force(spark):
+    """Edges straddling a CUBE FACE CORNER (3 faces meet; the Moore ring
+    there has 7-8 distinct neighbors, not 8, and neighbor cells live on
+    other faces).  The 9-ring completeness argument leans on cross-face
+    neighbor wrap (S2CellId.cs:815-865 GetAllNeighbors semantics), so this
+    fixture pins it: short edges clustered around the (1,1,1)/sqrt(3)
+    corner must still refine to exactly the brute-force crossing set."""
+    from s2spark.operators.edge_join import edge_crossing_join
+    rng = np.random.default_rng(20260817)
+    corner = np.array([1.0, 1.0, 1.0]) / math.sqrt(3.0)
+    edges = _random_cap_edges(rng, 250, edge_len_rad=3e-4,
+                              cap_span_rad=3e-4, center=tuple(corner))
+    # fixture sanity: the cluster must actually straddle multiple faces
+    pts = edges.reshape(-1, 3)
+    leaf = ci.from_point(pts[:, 0], pts[:, 1], pts[:, 2])
+    faces = set((np.asarray(leaf, dtype=np.uint64) >> np.uint64(61)).tolist())
+    assert len(faces) >= 3, f"fixture fell on faces {faces}, not a corner"
+    expect = _brute_crossings(edges, edges)
+    assert len(expect) > 10
+    got = {(int(r["edge_a"]), int(r["edge_b"]))
+           for r in edge_crossing_join(_edges_df(spark, edges, "edge_a"),
+                                       _edges_df(spark, edges, "edge_b")).collect()}
+    assert got == expect
+
+
 def _hemisphere_plus_short(rng, n_short):
     """One near-hemisphere edge + n_short street-level edges in a cap —
     the mixed-length shape that forces a dataset-global level toward

@@ -73,6 +73,22 @@ def test_encode_whole_stage_codegen_no_python(spark):
     assert "*(" in plan                         # whole-stage codegen marker
 
 
+def test_stream_pip_plan_is_broadcast_join_no_row_python(spark):
+    """The STREAMING micro-batch plan (not the memory-sink table) must be
+    the same shape as the batch broadcast join: stream-static
+    BroadcastHashJoin enrichment, Arrow-only Python.  The plan is captured
+    from the executed StreamingQuery (explainInternal) and attached to the
+    returned DataFrame for the audit tooling."""
+    import __spark_entry__ as entry
+    df = entry.queries()["stream_point_in_polygon"](spark, SF)
+    plan = getattr(df, "_s2spark_stream_plan", None)
+    assert plan, "streaming plan was not captured"
+    assert "BroadcastHashJoin" in plan          # stream-static broadcast
+    assert "BatchEvalPython" not in plan        # refine is Arrow, not row
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan          # stateless enrichment: no sort
+
+
 def test_lsh_pairs_no_cross_join(spark):
     import __spark_entry__ as entry
     plan = plan_of(entry.queries()["dedup_lsh_pairs"](spark, SF))

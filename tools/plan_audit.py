@@ -51,8 +51,14 @@ def audit(sf_dir: str, names=None) -> int:
         if names and name not in names:
             continue
         df = fn(spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted")
+        # streaming queries attach the last micro-batch's physical plan
+        # (the memory-sink table the callable returns is just a local
+        # scan; the attached plan is the stream-static join we must audit)
+        plan = getattr(df, "_s2spark_stream_plan", None)
+        streaming = plan is not None
+        if plan is None:
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted")
         flags = []
         if "BatchEvalPython" in plan:
             flags.append("row-Python UDF (BatchEvalPython)")
@@ -72,6 +78,7 @@ def audit(sf_dir: str, names=None) -> int:
             bad += 1
         lines.append(
             f"{status:5} {name}: exchanges={n_exchange} arrow_stages={arrow}"
+            + (" (streaming plan)" if streaming else "")
             + (f"  [{'; '.join(flags)}]" if flags else ""))
     spark.stop()
     sys.stdout.write("\n".join(lines) + "\n")
