@@ -19,7 +19,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-PAGES_ROWS = int(os.environ.get("S2SPARK_BENCH_PAGES", "12000000"))
+# 8M pages (was 12M through round 3): each timed 2-core run is still
+# ~285 s — fixed driver-side planning (~3 s) stays ~1% of the measurement,
+# so the efficiency ratio is unaffected — and the full 3-pair scaling run
+# PLUS the 50-query phase now fits the harness budget with margin.  At 12M
+# the arithmetic never closed: ~1300 s/pair x 3 + queries > the ~1h
+# harness timeout, which is exactly how round 3's artifact died (rc=124).
+# Cross-round throughput comparability is by pages_per_sec, not wall sec.
+PAGES_ROWS = int(os.environ.get("S2SPARK_BENCH_PAGES", "8000000"))
 # N vs 4N scaling pair: 2 -> 8 by default.  This host is a shared VM with
 # visible hypervisor steal: the pure-compute ceiling (sum(sin(id)), zero
 # shuffle, measured in-child as `control_sec`) is ~0.84 for 2 -> 8 cores but

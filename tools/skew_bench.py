@@ -6,7 +6,10 @@ corpus).  With a SHUFFLE hash join (broadcast disabled — the regime the
 salted plan exists for) the hot covering cell is a single join key, so
 without key-splitting its entire row set lands on ONE task.  The tool
 measures rows-per-join-task for the same input with salting off vs on
-and prints one JSON line with max / median / p99 per-task rows.
+and prints a JSON line with max / median / p99 per-task rows, then a
+second JSON line with the refine-stage per-group CPU-time evidence
+(512-vertex ring fixture on a serial local[1] session — see the
+refine-phase comment in main()).
 
 AQE is disabled for the measurement: AQE's skew-join can also split a
 skewed partition for sort-merge joins, which would mask whether OUR
@@ -20,6 +23,8 @@ from __future__ import annotations
 
 import json
 import sys
+
+import numpy as np
 
 sys.path.insert(0, ".")
 
@@ -95,21 +100,92 @@ def main() -> None:
     out["salted_max_over_median"] = round(
         s["max_rows"] / max(s["median_rows"], 1), 2)
 
+    print(json.dumps(out))
+    spark.stop()
+
     # --- refine-stage COMPUTE evidence (round-4 judge item): rows/task
     # shows the join is balanced, but the cost that "rides with the rows"
     # is the exact-refine kernel.  Time each cogroup GROUP (a group is a
     # task's unit of serial work) for refine_salt=1 (the unsalted funnel:
     # one group per polygon) vs the production refine_salt — same exterior
     # candidate set, same kernel, only the (polygon_id, salt) key differs.
-    exterior = (cand.where(~F.col("is_interior")).drop("is_interior")
+    # Dedicated fixture: the box-polygon candidates above are ~95%
+    # interior fast-accepts (skin refine there is milliseconds — noise),
+    # so the refine phase uses the adversarial shape instead: a
+    # 512-vertex circle polygon with every probe point in the BOUNDARY
+    # RING BAND — ~all candidates are skin rows, all on ONE polygon, and
+    # the parity kernel pays 512 edge tests per row.  That is the
+    # "city-boundary polygon at planet scale" funnel the (polygon_id,
+    # salt) cogroup key exists for.
+    #
+    # This phase runs on its OWN local[1] session: with one executor
+    # thread every group runs serially with the whole machine to itself,
+    # so per-group CPU time is what one cluster task would execute —
+    # concurrent groups on a shared-memory-bus local node otherwise
+    # inflate each other's stall cycles and the comparison measures bus
+    # contention, not the key split.
+    spark = build_session(app_name="skew-bench-refine", master="local[1]",
+                          shuffle_partitions=4,
+                          **{"spark.sql.autoBroadcastJoinThreshold": "-1",
+                             "spark.sql.adaptive.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    ring_n = max(1_000_000, n_points // 2)
+    exterior = (_ring_band_candidates(spark, ring_n)
                 .localCheckpoint())     # freeze: identical input both runs
+    out2 = {"refine_fixture": {
+        "n_points": ring_n, "polygon_vertices": 512, "parallelism": 1,
+        "skin_rows": exterior.count()}}
     for label, rs in (("refine_salt_1", 1), ("refine_salt_16", 16)):
-        out[label] = refine_group_times(exterior, pdf, rs)
-    r1, r16 = out["refine_salt_1"], out["refine_salt_16"]
-    out["refine_max_group_sec_ratio"] = round(
-        r1["max_sec"] / max(r16["max_sec"], 1e-9), 2)
-    print(json.dumps(out))
+        out2[label] = refine_group_times(exterior, _RING_PDF[0], rs)
+    r1, r16 = out2["refine_salt_1"], out2["refine_salt_16"]
+    out2["refine_max_group_cpu_ratio"] = round(
+        r1["max_cpu_sec"] / max(r16["max_cpu_sec"], 1e-9), 2)
+    print(json.dumps(out2))
     spark.stop()
+
+
+_RING_PDF = [None]   # polygons_df of the ring fixture, shared with timing
+
+
+def _ring_band_candidates(spark, n_points: int):
+    """Exterior (skin) candidate rows for the refine-timing fixture: a
+    512-vertex circle of angular radius 30 deg about (0,0), probed by
+    points confined to the 28-32 deg boundary band, via the SAME
+    spatial_join_shuffle candidate generation as production."""
+    import math
+
+    from s2spark.functions import columns as C
+    from s2spark.kernel.loops import Loop, Polygon
+    from s2spark.operators.spatial_join_shuffle import (
+        polygons_to_df, spatial_join_shuffle)
+
+    n_v = 512
+    lat = [30.0 * math.cos(2 * math.pi * k / n_v) for k in range(n_v)]
+    lng = [-30.0 * math.sin(2 * math.pi * k / n_v) for k in range(n_v)]
+    verts = np.stack([_ll_xyz(a, o) for a, o in zip(lat, lng)])
+    pdf = polygons_to_df(spark, {1: Polygon([Loop(verts)])})
+    _RING_PDF[0] = pdf
+
+    pts = (spark.range(n_points)
+           .select(F.col("id").alias("doc_id"),
+                   (28.0 + (F.col("id") % 4001) / 1000.0).alias("rho"),
+                   ((F.col("id") % 6283) / 1000.0).alias("phi"))
+           .select("doc_id",
+                   (F.col("rho") * F.cos(F.col("phi"))).alias("lat"),
+                   (F.col("rho") * F.sin(F.col("phi"))).alias("lng")))
+    pts = C.with_cell_id(pts, "lat", "lng", out="cell_id", keep_xyz=True) \
+        .select("doc_id", "cell_id", "x", "y", "z")
+    cand = spatial_join_shuffle(spark, pts, pdf, hot_threshold=1 << 60,
+                                point_key="doc_id", hot_sample_fraction=0.01,
+                                return_candidates=True)
+    return cand.where(~F.col("is_interior")).drop("is_interior")
+
+
+def _ll_xyz(lat_deg: float, lng_deg: float):
+    import math
+    la, lo = math.radians(lat_deg), math.radians(lng_deg)
+    return np.array([math.cos(la) * math.cos(lo),
+                     math.cos(la) * math.sin(lo), math.sin(la)])
 
 
 def refine_group_times(exterior, polygons_df, refine_salt: int,
@@ -133,7 +209,12 @@ def refine_group_times(exterior, polygons_df, refine_salt: int,
              .withColumn("__rs", F.col("__rs").cast("int")))
 
     def timed(key, matches: pd.DataFrame, pol: pd.DataFrame) -> pd.DataFrame:
-        t0 = time.time()
+        # per-THREAD CPU time, not wall: salted groups run concurrently
+        # across executor threads, so wall-clock per group mostly measures
+        # scheduler/bandwidth contention; thread CPU time is the compute
+        # that actually rides with the group's rows (what one cluster task
+        # would execute serially)
+        t0 = time.thread_time()
         n_kept = 0
         if len(matches) and len(pol):
             poly = _polygon_from_group(pol)
@@ -143,19 +224,20 @@ def refine_group_times(exterior, polygons_df, refine_salt: int,
             n_kept = int(keep.sum())
         return pd.DataFrame([{"polygon_id": int(key[0]), "rs": int(key[1]),
                               "n_rows": len(matches), "n_kept": n_kept,
-                              "sec": time.time() - t0}])
+                              "cpu_sec": time.thread_time() - t0}])
 
     rows = (ext.groupBy("polygon_id", "__rs")
             .cogroup(polys.groupBy("polygon_id", "__rs"))
-            .applyInPandas(timed, schema="polygon_id long, rs int, "
-                                         "n_rows long, n_kept long, sec double")
+            .applyInPandas(timed, schema="polygon_id long, rs int, n_rows "
+                                         "long, n_kept long, cpu_sec double")
             .collect())
-    secs = sorted(r["sec"] for r in rows)
+    secs = sorted(r["cpu_sec"] for r in rows)
     return {
         "refine_salt": refine_salt,
         "n_groups": len(secs),
-        "max_sec": round(secs[-1], 3) if secs else 0.0,
-        "median_sec": round(secs[len(secs) // 2], 3) if secs else 0.0,
+        "max_cpu_sec": round(secs[-1], 3) if secs else 0.0,
+        "median_cpu_sec": round(secs[len(secs) // 2], 3) if secs else 0.0,
+        "total_cpu_sec": round(sum(secs), 3),
         "max_group_rows": max((r["n_rows"] for r in rows), default=0),
         "total_rows": int(sum(r["n_rows"] for r in rows)),
         "total_kept": int(sum(r["n_kept"] for r in rows)),
