@@ -124,8 +124,10 @@ def main() -> None:
     # concurrent groups on a shared-memory-bus local node otherwise
     # inflate each other's stall cycles and the comparison measures bus
     # contention, not the key split.
+    # 37 shuffle partitions >> 17 groups: each cogroup group gets its own
+    # task, so per-group times never share a task's stream
     spark = build_session(app_name="skew-bench-refine", master="local[1]",
-                          shuffle_partitions=4,
+                          shuffle_partitions=37,
                           **{"spark.sql.autoBroadcastJoinThreshold": "-1",
                              "spark.sql.adaptive.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
@@ -135,6 +137,10 @@ def main() -> None:
     out2 = {"refine_fixture": {
         "n_points": ring_n, "polygon_vertices": 512, "parallelism": 1,
         "skin_rows": exterior.count()}}
+    # discard one full pass first: the worker's first applyInPandas
+    # invocation pays ~10 s of one-time import/Arrow warmup that would
+    # otherwise land on an arbitrary group and corrupt the max
+    refine_group_times(exterior, _RING_PDF[0], 16)
     for label, rs in (("refine_salt_1", 1), ("refine_salt_16", 16)):
         out2[label] = refine_group_times(exterior, _RING_PDF[0], rs)
     r1, r16 = out2["refine_salt_1"], out2["refine_salt_16"]

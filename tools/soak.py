@@ -48,6 +48,9 @@ def main() -> None:
     wall = time.time() - t0
     peak_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
     exec_mem = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
+    rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+    jvm_used_mb = (rt.totalMemory() - rt.freeMemory()) / (1024.0 * 1024.0)
+    jvm_max_mb = rt.maxMemory() / (1024.0 * 1024.0)
     spark.stop()
 
     print(json.dumps({
@@ -60,6 +63,8 @@ def main() -> None:
         "pages_per_sec": round(N_PAGES / wall, 1),
         "matched_rows": int(matched),
         "driver_peak_rss_mb": round(peak_rss_mb, 1),
+        "jvm_heap_used_mb": round(jvm_used_mb, 1),
+        "jvm_heap_max_mb": round(jvm_max_mb, 1),
         "n_executors": int(exec_mem),
         "confs": confs,
     }))
