@@ -240,7 +240,12 @@ def _q_edge_crossing_join(spark, sf_dir):
     from s2spark.operators.edge_join import edge_crossing_join
     exprs = (_edge_xyz_sql(_EDGE_LAT1, _EDGE_LNG1, "a")
              + _edge_xyz_sql(_EDGE_LAT2, _EDGE_LNG2, "b"))
-    edges = _read(spark, sf_dir, "documents").selectExpr("doc_id", *exprs)
+    # single-file scan artifact (see _docs_par): fan the map-heavy cell
+    # UDF + explode across cores; endpoints derive from doc_id alone, so
+    # only that column rides the repartition
+    edges = (_read(spark, sf_dir, "documents").select("doc_id")
+             .repartition(spark.sparkContext.defaultParallelism)
+             .selectExpr("doc_id", *exprs))
     out = edge_crossing_join(
         edges.withColumnRenamed("doc_id", "edge_a"),
         edges.withColumnRenamed("doc_id", "edge_b"))
