@@ -13,11 +13,24 @@ asymmetric index/probe hash join:
     edge stays O(|S|) regardless of length spread.  Each edge snaps DOWN
     to the finest S-level no finer than its own fit (the coarsest S level
     is the fit of the longest edge, so a snap level always exists).
-  * INDEX cells — the 9-cell Moore neighborhood of the edge start's
-    ancestor at the snapped level.  A geodesic no longer than a cell
-    width starting in C stays inside C and its ring, so any point of the
-    edge — in particular any crossing point — lies in one of these 9
-    cells: candidate generation is COMPLETE.
+  * INDEX cells — the cells of the 9-cell Moore neighborhood of the
+    edge start's ancestor at the snapped level THAT THE EDGE ACTUALLY
+    INTERSECTS.  A geodesic no longer than a cell width starting in C
+    stays inside C and its ring, so the ring is a superset of the
+    intersected cells; each ring cell is then kept only if the edge
+    meets its padded UV rectangle under gnomonic projection (great
+    circles project to straight lines, so the test is a vectorized
+    2-D segment-vs-rect clip — the same face-clip idea as the
+    reference's S2EdgeUtil edge clipping).  Any crossing point of two
+    edges lies in a cell BOTH edges intersect, so both sides indexing
+    exactly their intersected cells keeps candidate generation
+    COMPLETE while shrinking the same-level partner zone from the
+    Chebyshev-2 (5x5-cell) ring-overlap neighborhood to true cell
+    co-occupancy.  The filter is conservative: endpoint-containing
+    cells are kept by exact integer parent equality, the rect is
+    padded (1e-12 UV ~ 1000x the projection's rounding error, still
+    <0.1% of a leaf cell), and cells whose face hemisphere the
+    projection cannot safely host fall back to kept.
   * PROBE cells — the index cells plus their ancestors at every coarser
     S level (deduplicated; coarse ancestors of a 9-ring collapse to 1-4
     cells).
@@ -137,6 +150,93 @@ def _level_set(edges_a: DataFrame, edges_b: DataFrame,
     return tuple(sorted(best))
 
 
+# UV-rect padding for the touch filter: ~1000x the float64 rounding error
+# of the gnomonic projection / st_to_uv arithmetic (both O(1e-16) on O(1)
+# coordinates), yet <0.1% of even a LEAF cell's UV width (2/2^30 ~ 1.9e-9),
+# so over-inclusion is a handful of grazing cells, never a blowup.
+_CLIP_PAD = 1e-12
+# minimum dot(endpoint, face normal) for the gnomonic projection onto that
+# face to be used; below it the cell is conservatively kept instead.  0.1
+# bounds |u|,|v| <= 10 so fp error stays ~1e-15 (well under _CLIP_PAD); a
+# ring cell's edge sits within ~1.5 cell widths of the cell's own face
+# (where w >= 1/sqrt(3)), so w < 0.1 only occurs at the coarsest levels,
+# where keeping the few cells outright is cheap.
+_MIN_W = 0.1
+
+
+def _cells_touched(cells: np.ndarray, lv: int,
+                   sx, sy, sz, ex, ey, ez,
+                   end_parent: np.ndarray) -> np.ndarray:
+    """Conservative per-(edge, cell) test: does the geodesic (s -> e)
+    intersect the level-`lv` cell?  `cells` is (k, 9) uint64 ring cells
+    for k edges; returns a (k, 9) bool mask that is True for every truly
+    intersected cell (and possibly a few grazing extras).
+
+    Central (gnomonic) projection onto each cell's face maps great
+    circles to straight lines, so the arc becomes the 2-D segment
+    between the projected endpoints and the cell a padded axis-aligned
+    UV rectangle: a Liang-Barsky slab test decides intersection.  Valid
+    whenever both endpoints lie strictly inside the face's open
+    hemisphere (the minor arc then stays inside it and the projection
+    is a bijection); otherwise — and for cells containing an endpoint,
+    where no projection is needed — the cell is kept outright."""
+    shape = cells.shape
+    flat = cells.reshape(-1)
+    face = (flat >> np.uint64(ci.POS_BITS)).astype(np.int64)
+
+    # endpoint-containing cells: exact integer containment, no fp at all
+    keep = (cells == cells[:, :1]) | (cells == end_parent[:, None])
+
+    # per-face w = dot(p, face_normal); face normals are +-axis vectors
+    def w_of(face_arr, px, py, pz):
+        comp = np.select([face_arr % 3 == 0, face_arr % 3 == 1],
+                         [px, py], default=pz)
+        return np.where(face_arr >= 3, -comp, comp)
+
+    sxf, syf, szf = (np.broadcast_to(a[:, None], shape).reshape(-1)
+                     for a in (sx, sy, sz))
+    exf, eyf, ezf = (np.broadcast_to(a[:, None], shape).reshape(-1)
+                     for a in (ex, ey, ez))
+    w0 = w_of(face, sxf, syf, szf)
+    w1 = w_of(face, exf, eyf, ezf)
+    unsafe = (w0 <= _MIN_W) | (w1 <= _MIN_W)
+
+    u0, v0 = ci.valid_face_xyz_to_uv(face, sxf, syf, szf)
+    u1, v1 = ci.valid_face_xyz_to_uv(face, exf, eyf, ezf)
+
+    # cell UV bounds from the leaf (i, j) of the cell center
+    _, i, j = ci.to_face_ij_orientation(flat)
+    size = np.int64(1) << np.int64(ci.MAX_LEVEL - lv)
+    half = float(ci.MAX_SIZE // 2)
+    i_lo = i & ~(size - 1)
+    j_lo = j & ~(size - 1)
+    u_lo = ci.st_to_uv(i_lo / half - 1.0) - _CLIP_PAD
+    u_hi = ci.st_to_uv((i_lo + size) / half - 1.0) + _CLIP_PAD
+    v_lo = ci.st_to_uv(j_lo / half - 1.0) - _CLIP_PAD
+    v_hi = ci.st_to_uv((j_lo + size) / half - 1.0) + _CLIP_PAD
+
+    def slab(p0, p1, lo, hi):
+        d = p1 - p0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ta = (lo - p0) / d
+            tb = (hi - p0) / d
+        tmin = np.minimum(ta, tb)
+        tmax = np.maximum(ta, tb)
+        inside = (p0 >= lo) & (p0 <= hi)
+        par = d == 0
+        tmin = np.where(par, np.where(inside, -np.inf, np.inf), tmin)
+        tmax = np.where(par, np.where(inside, np.inf, -np.inf), tmax)
+        return tmin, tmax
+
+    tminu, tmaxu = slab(u0, u1, u_lo, u_hi)
+    tminv, tmaxv = slab(v0, v1, v_lo, v_hi)
+    tmin = np.maximum(np.maximum(tminu, tminv), 0.0)
+    tmax = np.minimum(np.minimum(tmaxu, tmaxv), 1.0)
+    hit = tmin <= tmax
+
+    return keep | (unsafe | hit).reshape(shape)
+
+
 def _edge_cells_udf(levels: tuple[int, ...]):
     """Pandas UDF: per edge, array of (cell, own) — `own` marks the
     9-ring at the edge's snapped level (index cells); the rest are
@@ -151,12 +251,13 @@ def _edge_cells_udf(levels: tuple[int, ...]):
         if n == 0:
             return pd.Series([], dtype=object)
         x, y, z = (s.to_numpy(np.float64) for s in (ax, ay, az))
-        fit = _fit_levels(x, y, z, bx.to_numpy(np.float64),
-                          by.to_numpy(np.float64), bz.to_numpy(np.float64))
+        xe, ye, ze = (s.to_numpy(np.float64) for s in (bx, by, bz))
+        fit = _fit_levels(x, y, z, xe, ye, ze)
         # snap DOWN to the finest S level <= fit; S[0] <= every fit
         snap_idx = np.maximum(
             np.searchsorted(lv_arr, fit, side="right") - 1, 0)
         leaf = ci.from_point(x, y, z)
+        leaf_e = ci.from_point(xe, ye, ze)
         out = [None] * n
         for li in range(len(lv_arr)):
             m = snap_idx == li
@@ -168,6 +269,12 @@ def _edge_cells_udf(levels: tuple[int, ...]):
             cells = np.concatenate([parents[:, None], nbrs], axis=1)
             vmask = np.concatenate(
                 [np.ones((len(parents), 1), dtype=bool), valid], axis=1)
+            # keep only ring cells the edge actually intersects (module
+            # docstring INDEX cells): everything downstream — own cells,
+            # coarser probe ancestors — derives from the touched set
+            vmask &= _cells_touched(
+                cells, lv, x[m], y[m], z[m], xe[m], ye[m], ze[m],
+                ci.parent_for_level(leaf_e[m], lv))
             tiers = [cells]
             for lc in lv_arr[:li]:        # ancestors at coarser S levels
                 tiers.append(ci.parent_for_level(cells.reshape(-1),
