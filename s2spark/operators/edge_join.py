@@ -259,6 +259,29 @@ def _edge_cells_udf(levels: tuple[int, ...]):
         leaf = ci.from_point(x, y, z)
         leaf_e = ci.from_point(xe, ye, ze)
         out = [None] * n
+        # edges LONGER than the level-0 min cell width break the ring
+        # containment guarantee (they clip to fit 0 but can extend past
+        # the start face's Moore ring — e.g. a 160-degree edge reaches
+        # the antipodal face, which is never among the start's
+        # neighbors, silently dropping crossings on it).  Such edges
+        # index ALL six faces as own cells: complete by construction,
+        # and real corpora have vanishingly few >=54-degree edges, so
+        # the extra candidates are noise.
+        # only sound when level 0 is in S, so the other side's probe
+        # ancestors reach the faces; in auto mode a too-long edge forces
+        # the exact coarsest-level anchor to 0, so this always holds —
+        # the gate only exempts the legacy forced-level path, which
+        # keeps its documented single-level semantics
+        dot_se = np.clip(x * xe + y * ye + z * ze, -1.0, 1.0)
+        too_long = (lv_arr[0] == 0) & (
+            np.arccos(dot_se) > 2.0 * metrics.MIN_WIDTH.deriv)
+        if too_long.any():
+            faces6 = ci.to_signed(
+                ci.from_face_pos_level(np.arange(6), 0, 0))
+            row6 = [(int(c), True) for c in faces6]
+            for oi in np.nonzero(too_long)[0]:
+                out[oi] = list(row6)
+            snap_idx = np.where(too_long, -1, snap_idx)  # skip ring path
         for li in range(len(lv_arr)):
             m = snap_idx == li
             if not m.any():

@@ -212,6 +212,9 @@ def test_dense_same_level_candidates_tightened(spark):
     # measured 3,639,612 -> 473,486, a 7.7x cut).  300k keeps margin for
     # level-set shifts while failing on any regression to ring semantics.
     assert n_cand < 300_000, f"touch filter regressed: {n_cand} candidates"
+
+
+def test_mixed_length_candidate_count_bounded(spark):
     """Per-edge levels must keep the candidate set linear: with one
     near-hemisphere edge + 5k short cap edges, a single global level
     (forced to the long edge's fit, ~level 0) buckets every edge
@@ -228,3 +231,59 @@ def test_dense_same_level_candidates_tightened(spark):
     # each (9-ring collisions in the cap + the long edge's probe hits);
     # the global-level plan would produce ~n^2/2 > 12M pairs here
     assert n_cand < 40 * n, f"candidate blowup: {n_cand} pairs for {n} edges"
+
+
+def test_over_width_edge_far_face_crossing(spark):
+    """Regression: an edge LONGER than the level-0 min cell width
+    (~54 deg) extends past its start face's Moore ring — a 160-degree
+    edge from the face-0 center reaches the antipodal face 3, which is
+    never among face 0's neighbors.  Before the all-faces fallback, a
+    crossing with a short edge there was silently dropped (both join
+    branches keyless).  Such edges must index all six faces."""
+    from s2spark.operators.edge_join import edge_crossing_join
+    t_end = math.radians(160.0)
+    long_edge = np.array([[[1.0, 0.0, 0.0],
+                           [math.cos(t_end), math.sin(t_end), 0.0]]])
+    px = np.array([math.cos(math.radians(155.0)),
+                   math.sin(math.radians(155.0)), 0.0])
+    zhat = np.array([0.0, 0.0, 1.0])
+    short = np.array([[math.cos(1e-3) * px + math.sin(1e-3) * zhat,
+                       math.cos(1e-3) * px - math.sin(1e-3) * zhat]])
+    edges = np.concatenate([long_edge, short])
+    expect = _brute_crossings(edges, edges)
+    assert expect, "fixture must actually cross"
+    got = {(int(r["edge_a"]), int(r["edge_b"]))
+           for r in edge_crossing_join(_edges_df(spark, edges, "edge_a"),
+                                       _edges_df(spark, edges, "edge_b")).collect()}
+    assert got == expect
+
+
+def test_random_long_edges_match_brute_force(spark):
+    """Random 60-170 degree edges + globally scattered short edges:
+    brute-force equivalence across the over-width all-faces fallback,
+    the ring path, and their mixed-level pairings."""
+    from s2spark.operators.edge_join import edge_crossing_join
+    rng = np.random.default_rng(97531)
+    longs = np.empty((12, 2, 3))
+    for i in range(12):
+        p = rng.normal(size=3)
+        p /= np.linalg.norm(p)
+        d = rng.normal(size=3)
+        d -= d @ p * p
+        d /= np.linalg.norm(d)
+        t = math.radians(rng.uniform(60.0, 170.0))
+        longs[i, 0] = p
+        longs[i, 1] = math.cos(t) * p + math.sin(t) * d
+    shorts = np.empty((120, 2, 3))
+    for i in range(120):
+        c = rng.normal(size=3)
+        c /= np.linalg.norm(c)
+        shorts[i] = _random_cap_edges(rng, 1, edge_len_rad=0.05,
+                                      cap_span_rad=1e-6, center=tuple(c))[0]
+    edges = np.concatenate([longs, shorts])
+    expect = _brute_crossings(edges, edges)
+    assert len(expect) > 10
+    got = {(int(r["edge_a"]), int(r["edge_b"]))
+           for r in edge_crossing_join(_edges_df(spark, edges, "edge_a"),
+                                       _edges_df(spark, edges, "edge_b")).collect()}
+    assert got == expect
