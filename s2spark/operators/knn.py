@@ -53,10 +53,28 @@ def radius_join(queries: DataFrame, data: DataFrame, radius_rad: float,
     d = data.select(
         F.col(data_key), F.col("lat").alias("d_lat"), F.col("lng").alias("d_lng"),
         C.parent_for_level(F.col("cell_id"), level).alias("bucket"))
-    # query side: <=4 vertex-neighbor buckets at `level`
-    q = queries.select(
-        F.col(query_key), F.col("lat").alias("q_lat"), F.col("lng").alias("q_lng"),
-        F.explode(vertex_neighbors_udf(F.col("cell_id"), F.lit(level))).alias("bucket"))
+    if 2 * radius_rad > metrics.MIN_WIDTH.get_value(0):
+        # Planet-scale radius: get_max_level clamps to 0 but no cell at ANY
+        # level is wide enough to contain the query disc, so the 4-vertex-
+        # neighbor guarantee is void (a disc of radius > ~27 deg can reach
+        # faces that never touch the query's nearest cube vertex — matches
+        # on them were silently dropped).  Probe all six faces: correct by
+        # construction, and the exact haversine filter does the work — the
+        # honest cost of a disc covering a large fraction of the sphere.
+        import numpy as np
+
+        from ..kernel import cellid as ci
+        faces6 = [int(c) for c in
+                  ci.to_signed(ci.from_face_pos_level(np.arange(6), 0, 0))]
+        q = queries.select(
+            F.col(query_key), F.col("lat").alias("q_lat"),
+            F.col("lng").alias("q_lng"),
+            F.explode(F.array(*[F.lit(c) for c in faces6])).alias("bucket"))
+    else:
+        # query side: <=4 vertex-neighbor buckets at `level`
+        q = queries.select(
+            F.col(query_key), F.col("lat").alias("q_lat"), F.col("lng").alias("q_lng"),
+            F.explode(vertex_neighbors_udf(F.col("cell_id"), F.lit(level))).alias("bucket"))
     dist = _haversine_rad(F.radians(F.col("q_lat")), F.radians(F.col("q_lng")),
                           F.radians(F.col("d_lat")), F.radians(F.col("d_lng")))
     return (q.join(d, "bucket")

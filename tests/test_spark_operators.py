@@ -140,6 +140,26 @@ def test_knn_join_exact(spark):
         assert got_ids == expect, f"query {qid}"
 
 
+def test_radius_join_planet_scale_radius(spark):
+    """Regression: for 2r beyond the level-0 min cell width (~54 deg) no
+    cell at any level contains the query disc, so the 4-vertex-neighbor
+    bucket guarantee is void — a 3-rad disc reaches faces that never touch
+    the query's nearest cube vertex, and matches there were silently
+    dropped.  Such radii must probe all six faces (exact filter does the
+    work) and still respect the exact distance boundary."""
+    import pandas as pd
+    from s2spark.operators.knn import radius_join
+    qdf = C.with_cell_id(spark.createDataFrame(pd.DataFrame(
+        {"query_id": [1], "lat": [0.0], "lng": [0.0]})), "lat", "lng")
+    ddf = C.with_cell_id(spark.createDataFrame(pd.DataFrame(
+        {"data_id": [10, 11, 12, 13], "lat": [0.0] * 4,
+         "lng": [60.0, 140.0, 170.0, 179.9]})), "lat", "lng")
+    got = sorted(r["data_id"] for r in radius_join(qdf, ddf, 3.0).collect())
+    # 179.9 deg = 3.139 rad > 3.0: outside; the rest inside
+    assert got == [10, 11, 12]
+    assert radius_join(qdf, ddf, 0.01).count() == 0
+
+
 def test_jaccard_df_cap(spark):
     """df_cap >= max shingle frequency leaves output unchanged; a tiny cap
     removes hot-shingle contributions (lower-bound Jaccard)."""
