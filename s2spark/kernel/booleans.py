@@ -7,6 +7,15 @@ to /root/reference/S2Geometry/S2Polygon.cs:615-811 (ClipEdge/ClipBoundary/
 InitToIntersection/InitToUnion), S2EdgeUtil.GetIntersection (:218-273) and
 the S2PolygonBuilder leftmost-turn loop assembly
 (S2PolygonBuilder.cs:150-412).
+
+Domain constraint (inherited from the reference): every input and result
+loop must enclose at most half the sphere.  AssemblePolygon normalizes
+directed loops (S2PolygonBuilder.cs:231-238), so an operation whose true
+result exceeds a hemisphere would come back inverted — the reference
+rejects such loops in IsValidPolygon (S2Polygon.cs:375-386, 'loop
+encloses more than half the sphere') rather than supporting them.
+Randomized point-set-law fuzzing (tests/test_booleans.py) covers the
+supported domain.
 """
 
 from __future__ import annotations

@@ -99,6 +99,89 @@ def test_difference_shared_edge(b_str, sample_points):
     assert np.array_equal(D.contains_points(x, y, z), in_a & ~in_b)
 
 
+def _cap_polygon_at(rng, center, n_verts, max_radius_deg=25.0):
+    """Convex polygon: n_verts around `center` at a random angular radius.
+    Vertex angles are evenly spaced + bounded jitter so every angular gap
+    stays < pi — the polygon genuinely SURROUNDS its center (n unbounded
+    random angles can cluster in a half-turn, yielding a sliver whose
+    orientation-certified form is a >hemisphere complement polygon, which
+    the reference's boolean ops reject by design: S2Polygon.cs:375-386
+    'loop encloses more than half the sphere')."""
+    from s2spark.kernel.loops import Loop, Polygon
+    c = center
+    e1 = rng.normal(size=3)
+    e1 -= e1 @ c * c
+    e1 /= np.linalg.norm(e1)
+    e2 = np.cross(c, e1)
+    r = math.radians(rng.uniform(2.0, max_radius_deg))
+    step = 2 * math.pi / n_verts
+    th = (np.arange(n_verts) * step
+          + rng.uniform(0.0, 0.4 * step, n_verts)
+          + rng.uniform(0.0, 2 * math.pi))
+    verts = (math.cos(r) * c[None, :]
+             + math.sin(r) * (np.cos(th)[:, None] * e1[None, :]
+                              + np.sin(th)[:, None] * e2[None, :]))
+    loop = Loop(verts)
+    if not bool(loop.contains_points(np.array([c[0]]), np.array([c[1]]),
+                                     np.array([c[2]]))[0]):
+        loop = Loop(verts[::-1].copy())
+    assert loop.is_normalized, "fixture must stay within a hemisphere"
+    return Polygon([loop]), c, r
+
+
+def _random_cap_polygon(rng, n_verts, max_radius_deg=25.0):
+    c = rng.normal(size=3)
+    c /= np.linalg.norm(c)
+    return _cap_polygon_at(rng, c, n_verts, max_radius_deg)
+
+
+def test_boolean_point_set_laws_fuzz():
+    """Randomized extension of the algebra laws: random convex cap
+    polygons (random centers/radii/vertex counts — overlapping, nested,
+    and disjoint arise by construction), each pair checked against
+    point-membership ground truth on samples concentrated where the
+    boundaries are."""
+    rng = np.random.default_rng(20260817)
+    for trial in range(12):
+        A, ca, ra = _random_cap_polygon(rng, int(rng.integers(3, 12)))
+        if trial % 3 == 0:      # force frequent overlap/nesting
+            cb = ca + rng.normal(scale=math.sin(ra), size=3)
+            cb /= np.linalg.norm(cb)
+        else:
+            cb = None
+        B, cb, rb = _random_cap_polygon(rng, int(rng.integers(3, 12))) \
+            if cb is None else _nearby_cap_polygon(rng, cb)
+        # sample around both boundaries + uniformly
+        pts = []
+        for c, r in ((ca, ra), (cb, rb)):
+            d = rng.normal(size=(4000, 3))
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+            t = r * rng.uniform(0.0, 2.5, 4000)
+            p = (np.cos(t)[:, None] * c[None, :]
+                 + np.sin(t)[:, None] * np.cross(c, d))
+            p /= np.linalg.norm(p, axis=1, keepdims=True)
+            pts.append(p)
+        g = rng.normal(size=(2000, 3))
+        pts.append(g / np.linalg.norm(g, axis=1, keepdims=True))
+        P = np.concatenate(pts)
+        x, y, z = P[:, 0], P[:, 1], P[:, 2]
+        in_a = A.contains_points(x, y, z)
+        in_b = B.contains_points(x, y, z)
+        I = booleans.intersection(A, B)
+        U = booleans.union(A, B)
+        D = booleans.difference(A, B)
+        assert np.array_equal(I.contains_points(x, y, z), in_a & in_b), \
+            f"trial {trial}: intersection law"
+        assert np.array_equal(U.contains_points(x, y, z), in_a | in_b), \
+            f"trial {trial}: union law"
+        assert np.array_equal(D.contains_points(x, y, z), in_a & ~in_b), \
+            f"trial {trial}: difference law"
+
+
+def _nearby_cap_polygon(rng, center):
+    return _cap_polygon_at(rng, center, int(rng.integers(3, 12)))
+
+
 def test_inclusion_exclusion_area():
     A = make_polygon("0:0, 0:4, 4:4, 4:0;")
     B = make_polygon("2:2, 2:6, 6:6, 6:2;")
