@@ -42,11 +42,33 @@ class _Candidate:
 
 class RegionCoverer:
     def __init__(self, min_level: int = 0, max_level: int = ci.MAX_LEVEL,
-                 level_mod: int = 1, max_cells: int = DEFAULT_MAX_CELLS):
+                 level_mod: int = 1, max_cells: int = DEFAULT_MAX_CELLS,
+                 interior_pop_budget: int | None = None):
         self.min_level = max(0, min(ci.MAX_LEVEL, min_level))
         self.max_level = max(0, min(ci.MAX_LEVEL, max_level))
         self.level_mod = max(1, min(3, level_mod))
         self.max_cells = max_cells
+        # INTERIOR coverings only: bound on priority-queue pops.  The
+        # reference's loop (GetCoveringInternal, S2RegionCoverer.cs:505-529)
+        # expands single-child candidates unconditionally, and near polygon
+        # vertices those chains are barren — they refine to max_level (30)
+        # without ever yielding a contained cell.  Once the result is
+        # within a few cells of max_cells, the frontier can degenerate to
+        # such chains and the loop grinds through O(boundary cells at
+        # level 30) region predicates before terminating (hours in the
+        # reference's native code, days in Python).  Any subset of
+        # contained cells is a VALID interior covering (callers use it as
+        # a fast-accept; the skin refine handles the rest), so a
+        # deterministic work budget only trades a few interior cells for
+        # bounded construction time.  Calibration: random caps at
+        # max_cells=8 need <= 546 pops; the largest driver join polygon at
+        # max_cells=64 needs 16,713 — 256x max_cells covers both with
+        # headroom.  Exterior coverings are NOT budgeted (completeness is
+        # their contract, and their loop charges queued candidates against
+        # max_cells, so it never degenerates this way).
+        self.interior_pop_budget = (256 * max_cells
+                                    if interior_pop_budget is None
+                                    else interior_pop_budget)
 
     # -- public API ------------------------------------------------------------
 
@@ -177,8 +199,12 @@ class RegionCoverer:
         pq: list = []
         counter = itertools.count()  # FIFO tiebreak for equal priorities
         self._initial_candidates(region, result, pq, counter, interior)
-        while pq and (not interior or len(result) < self.max_cells):
+        pops = 0
+        while pq and (not interior
+                      or (len(result) < self.max_cells
+                          and pops < self.interior_pop_budget)):
             _, _, candidate = heapq.heappop(pq)
+            pops += 1
             if (candidate.cell.level < self.min_level
                     or len(candidate.children) == 1
                     or len(result) + (0 if interior else len(pq)) + len(candidate.children)

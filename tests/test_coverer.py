@@ -140,3 +140,101 @@ def test_loop_covering_oracle():
     interior = cov.get_interior_covering(lp)
     for cid in interior:
         assert lp.contains_cell(Cell(int(cid)))
+
+
+def _convex_inside(loop, pts):
+    """Independent convex-polygon membership: all edge-normal dots positive
+    (valid for CCW convex loops — the fuzz fixtures)."""
+    v = loop.vertices
+    n = len(v)
+    out = np.ones(len(pts), dtype=bool)
+    for i in range(n):
+        nrm = np.cross(v[i], v[(i + 1) % n])
+        out &= pts @ nrm > 0
+    return out
+
+
+def test_random_polygon_covering_completeness():
+    """Independent completeness fuzz: check_exterior_covering grades the
+    covering against the region's OWN may_intersect predicate, so a shared
+    bug could hide.  Here random convex cap polygons are sampled with an
+    independent determinant-sign membership oracle, and every inside
+    point's leaf cell must fall in some covering cell — the property the
+    spatial join's candidate generation rides on.  Interior-covering cells
+    are cross-checked the other way (center + vertices inside)."""
+    from s2spark.kernel.cell import cells_vertices
+    from s2spark.kernel.loops import Polygon
+    from tests.test_booleans import _random_cap_polygon
+
+    rng = np.random.default_rng(8675309)
+    for _ in range(10):
+        poly, c, r = _random_cap_polygon(rng, int(rng.integers(3, 12)))
+        loop = poly.loops[0]
+        covering = np.asarray(
+            RegionCoverer(max_cells=8).get_covering(poly), dtype=U)
+        # (check_exterior_covering's per-cell recursion over polygon
+        # predicates is minutes per trial — the fixed-loop test keeps it;
+        # this fuzz contributes the independent point-sampling oracle)
+        # sample within 1.2r of the center: dense around the boundary
+        d = rng.normal(size=(4000, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        t = r * rng.uniform(0.0, 1.2, 4000)
+        p = (np.cos(t)[:, None] * c[None, :]
+             + np.sin(t)[:, None] * np.cross(c, d))
+        p /= np.linalg.norm(p, axis=1, keepdims=True)
+        inside = _convex_inside(loop, p)
+        assert inside.sum() > 100, "fixture must sample the interior"
+        leaves = ci.from_point(p[inside, 0], p[inside, 1], p[inside, 2])
+        covered = contains_id(np.sort(covering), leaves)
+        assert covered.all(), (
+            f"{(~covered).sum()} inside points outside the covering")
+        # interior covering: every cell fully inside by the oracle
+        interior = np.asarray(
+            RegionCoverer(max_cells=8).get_interior_covering(poly), dtype=U)
+        if len(interior):
+            vs = cells_vertices(interior)           # (k, 4, 3)
+            centers = vs.sum(axis=1)
+            centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+            for pts in (vs[:, 0], vs[:, 1], vs[:, 2], vs[:, 3], centers):
+                assert _convex_inside(loop, pts).all(), \
+                    "interior-covering cell leaks outside the polygon"
+
+
+def test_polygon_with_hole_covering_completeness():
+    """Same independent completeness check for a polygon with a hole:
+    inside-shell-outside-hole points must be covered; interior-covering
+    cells must avoid the hole."""
+    from s2spark.kernel.cell import cells_vertices
+    from s2spark.kernel.loops import Loop as L, Polygon
+    from tests.test_booleans import _cap_polygon_at
+
+    rng = np.random.default_rng(13579)
+    c = rng.normal(size=3)
+    c /= np.linalg.norm(c)
+    shell_poly, _, r_shell = _cap_polygon_at(rng, c, 8, max_radius_deg=20.0)
+    shell = shell_poly.loops[0]
+    hole_poly, _, r_hole = _cap_polygon_at(rng, c, 6, max_radius_deg=6.0)
+    hole = L(hole_poly.loops[0].vertices, depth=1)
+    poly = Polygon([L(shell.vertices, depth=0), hole])
+    covering = np.asarray(
+        RegionCoverer(max_cells=12).get_covering(poly), dtype=U)
+    d = rng.normal(size=(6000, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    t = r_shell * rng.uniform(0.0, 1.2, 6000)
+    p = (np.cos(t)[:, None] * c[None, :]
+         + np.sin(t)[:, None] * np.cross(c, d))
+    p /= np.linalg.norm(p, axis=1, keepdims=True)
+    inside = _convex_inside(shell, p) & ~_convex_inside(hole, p)
+    assert inside.sum() > 100
+    leaves = ci.from_point(p[inside, 0], p[inside, 1], p[inside, 2])
+    covered = contains_id(np.sort(covering), leaves)
+    assert covered.all(), f"{(~covered).sum()} ring points outside covering"
+    interior = np.asarray(
+        RegionCoverer(max_cells=12).get_interior_covering(poly), dtype=U)
+    if len(interior):
+        vs = cells_vertices(interior)
+        centers = vs.sum(axis=1)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        for pts in (vs[:, 0], vs[:, 1], vs[:, 2], vs[:, 3], centers):
+            ok = _convex_inside(shell, pts) & ~_convex_inside(hole, pts)
+            assert ok.all(), "interior-covering cell touches hole/exterior"
