@@ -145,3 +145,62 @@ def test_union_areas():
     assert cu.approx_area(kids) == pytest.approx(cu.exact_area(kids), rel=0.06)
     # average-based area of a face equals the face share of the sphere
     assert cu.average_based_area(face) == pytest.approx(4 * math.pi / 6, rel=1e-9)
+
+
+def test_expand_radius_completeness_fuzz(rng):
+    """Expand(radius) contract: the result must contain EVERY point within
+    min_radius of the input union (S2CellUnion.cs:618-650) — the property
+    buffered_polygon_join / corridor_join candidate generation rides on.
+    Ground truth is computed independently: inside-union by exact integer
+    parent equality, else min point-edge distance to the cells' boundary
+    arcs.  Radii span the bucket regimes incl. > level-0 min width (the
+    double-expand special case)."""
+    from s2spark.kernel import sphere
+    from s2spark.kernel.cell import cells_vertices
+
+    for radius in (1e-4, 3e-3, 0.05, 0.4, 1.2):
+        for _ in range(3):
+            n_cells = int(rng.integers(2, 8))
+            px, py, pz = random_points(rng, n_cells)
+            levels = rng.integers(3, 12, n_cells)
+            cells = np.array([
+                int(ci.parent_for_level(
+                    ci.from_point(px[i:i+1], py[i:i+1], pz[i:i+1]),
+                    int(levels[i]))[0])
+                for i in range(n_cells)], dtype=U)
+            union = cu.normalize(cells)
+            expanded = cu.expand_radius(union, radius, max_level_diff=4)
+            # sample around each cell center out to ~1.1x the interesting band
+            verts = cells_vertices(union)                       # (k, 4, 3)
+            centers = verts.sum(axis=1)
+            centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+            samples = []
+            for c in centers:
+                d = rng.normal(size=(300, 3))
+                d -= (d @ c)[:, None] * c[None, :]
+                d /= np.linalg.norm(d, axis=1, keepdims=True)
+                t = rng.uniform(0.0, min(np.pi - 1e-3, radius * 1.1 + 0.5), 300)
+                p = np.cos(t)[:, None] * c[None, :] + np.sin(t)[:, None] * d
+                samples.append(p / np.linalg.norm(p, axis=1, keepdims=True))
+            P = np.concatenate(samples)
+            leaves = ci.from_point(P[:, 0], P[:, 1], P[:, 2])
+            # independent distance to the union
+            dist = np.full(len(P), np.inf)
+            for idx, cell in enumerate(np.asarray(union, dtype=U)):
+                lv = int(ci.level_of(np.array([cell], dtype=U))[0])
+                inside = ci.parent_for_level(leaves, lv) == cell
+                dist[inside] = 0.0
+                v4 = cells_vertices(np.array([cell], dtype=U))[0]
+                for e in range(4):
+                    a, b = v4[e], v4[(e + 1) % 4]
+                    d_e = sphere.point_edge_distance(
+                        P[:, 0], P[:, 1], P[:, 2],
+                        a[0], a[1], a[2], b[0], b[1], b[2])
+                    dist = np.minimum(dist, d_e)
+            should_cover = dist <= radius * (1 - 1e-9)
+            covered = cu.contains_id(np.sort(np.asarray(expanded, dtype=U)),
+                                     leaves)
+            missing = should_cover & ~covered
+            assert not missing.any(), (
+                f"radius={radius}: {missing.sum()} in-radius points "
+                f"outside Expand() result")
