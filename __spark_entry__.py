@@ -245,10 +245,11 @@ def _q_edge_crossing_join(spark, sf_dir):
     # only that column rides the repartition
     edges = (_read(spark, sf_dir, "documents").select("doc_id")
              .repartition(spark.sparkContext.defaultParallelism)
-             .selectExpr("doc_id", *exprs))
-    out = edge_crossing_join(
-        edges.withColumnRenamed("doc_id", "edge_a"),
-        edges.withColumnRenamed("doc_id", "edge_b"))
+             .selectExpr("doc_id AS edge_a", "doc_id AS edge_b", *exprs))
+    # same-object self-join: histogram + cell UDF + explode run ONCE and
+    # the checkpoint is shared between the two join sides (edge_join.py
+    # SELF-JOIN FAST PATH) — passing two renamed copies doubled both
+    out = edge_crossing_join(edges, edges)
     return (out.where(F.col("edge_a") < F.col("edge_b"))
             .select("edge_a", "edge_b"))
 

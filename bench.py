@@ -19,14 +19,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 8M pages (was 12M through round 3): each timed 2-core run is still
-# ~285 s — fixed driver-side planning (~3 s) stays ~1% of the measurement,
-# so the efficiency ratio is unaffected — and the full 3-pair scaling run
-# PLUS the 50-query phase now fits the harness budget with margin.  At 12M
-# the arithmetic never closed: ~1300 s/pair x 3 + queries > the ~1h
-# harness timeout, which is exactly how round 3's artifact died (rc=124).
+# 6M pages (12M -> 8M -> 6M across rounds 3-5): each timed 2-core run is
+# still ~210 s — fixed driver-side planning (~3 s) stays ~1.5% of the
+# measurement, so the efficiency ratio is unaffected — and THREE full
+# scaling pairs PLUS the 50-query phase now fit the harness budget even on
+# a slow-host day (round 4's 8M pairs cost ~1116 s each under steal, so
+# only 2 of 3 fit and the even-pair "median" degenerated to the minimum).
 # Cross-round throughput comparability is by pages_per_sec, not wall sec.
-PAGES_ROWS = int(os.environ.get("S2SPARK_BENCH_PAGES", "8000000"))
+PAGES_ROWS = int(os.environ.get("S2SPARK_BENCH_PAGES", "6000000"))
 # N vs 4N scaling pair: 2 -> 8 by default.  This host is a shared VM with
 # visible hypervisor steal: the pure-compute ceiling (sum(sin(id)), zero
 # shuffle, measured in-child as `control_sec`) is ~0.84 for 2 -> 8 cores but
@@ -113,10 +113,13 @@ spark.sparkContext.setLogLevel("ERROR")
 bench._run_pipeline(spark, 50_000)   # warm-up: JIT + Arrow + broadcasts
 bench._run_pipeline(spark, 50_000)   # second warm-up: plan-path JIT settles
 best = None; matched = 0
-# best-of-2 timed runs: guards single steal spikes inside a pair, while
-# the MEDIAN across unconditional pairs (bench._scaling_run) absorbs
-# pair-level noise — best-of-3 here pushed a 3-pair run past 80 minutes
-for _ in range({repeats}):
+# best-of-N timed runs (N decided by the parent from wall-clock budget
+# alone): best-of-2 guards single steal spikes inside a pair, while the
+# MEDIAN across unconditional pairs (bench._scaling_run) absorbs
+# pair-level noise.  On a slow-host day the parent drops to best-of-1 so
+# all three pairs still fit — a wall-clock-only decision that cannot
+# bias the median toward the pass threshold.
+for _ in range(int(sys.argv[3])):
     t0 = time.time()
     matched = bench._run_pipeline(spark, n_pages)
     dt = time.time() - t0
@@ -132,7 +135,7 @@ spark.stop()
 """
 
 
-def _scaling_pair(n_pages: int) -> dict:
+def _scaling_pair(n_pages: int, repeats: int = 2) -> dict:
     """One N-vs-4N measurement: each size runs in its OWN subprocess pinned
     (taskset) to exactly that many CPUs — otherwise the small run borrows
     idle cores for GC/JIT/IO threads and the measured efficiency
@@ -141,15 +144,13 @@ def _scaling_pair(n_pages: int) -> dict:
     import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    script = _CHILD_SCRIPT.format(
-        repo=repo,
-        repeats=int(os.environ.get("S2SPARK_CHILD_REPEATS", "2")))
+    script = _CHILD_SCRIPT.format(repo=repo)
     out = {}
     big = SCALE_CORES
     small = max(1, big // 4)
     for label, cores in (("n_cores", small), ("n4_cores", big)):
         cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c",
-               script, str(cores), str(n_pages)]
+               script, str(cores), str(n_pages), str(repeats)]
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
         line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
         r = json.loads(line)
@@ -169,6 +170,7 @@ def _scaling_pair(n_pages: int) -> dict:
         out["scaling_efficiency"] / out["control_efficiency"], 3) \
         if out["control_efficiency"] > 0 else None
     out["pages"] = n_pages
+    out["repeats"] = repeats
     return out
 
 
@@ -198,29 +200,58 @@ def _scaling_run(n_pages: int, n_pairs: int | None = None,
     pair runs unconditionally and the median is the headline, with every
     attempt's (raw, control) kept in `attempts`.
 
-    `deadline` (epoch sec): a new pair is only launched if the slowest
-    completed pair would fit again (x1.15 margin) before the deadline —
-    the first pair always runs.  Skipping is recorded in the result and
-    depends only on wall-clock, never on the measured efficiencies, so
-    it cannot bias the median toward the pass threshold."""
+    `deadline` (epoch sec): all trimming is WALL-CLOCK-ONLY (never the
+    measured efficiencies, so it cannot bias the median toward the pass
+    threshold), in three layers:
+      1. before the FIRST pair: if the query phase already consumed the
+         budget down to less than a floor estimate of one pair, skip the
+         whole scaling phase and record it (previously the first pair
+         launched unconditionally and could blow the harness timeout the
+         budget exists to prevent);
+      2. before EVERY pair: drop the child from best-of-2 to best-of-1
+         timed runs when the remaining pairs would not all fit at
+         best-of-2 cost (estimated from the slowest completed pair;
+         best-of-1 costs ~0.6x a best-of-2 pair);
+      3. a pair is only launched if it individually fits (x1.15 margin)
+         before the deadline; skips are recorded in the result."""
     if n_pairs is None:
         n_pairs = int(os.environ.get("S2SPARK_SCALE_PAIRS", "3"))
+    max_repeats = int(os.environ.get("S2SPARK_CHILD_REPEATS", "2"))
+    # floor estimate of one best-of-1 pair at the default 6M pages on a
+    # calm host (2-core ~210s timed + warmups/control/startup, 8-core
+    # ~70s + overheads); scaled linearly if the page count is overridden
+    pair_floor_sec = float(os.environ.get(
+        "S2SPARK_PAIR_FLOOR_SEC", str(450.0 * n_pages / 6_000_000)))
     pairs = []
     skipped = 0
     worst_pair_sec = 0.0
     for i in range(n_pairs):
-        if pairs and deadline is not None:
-            remaining = deadline - time.time()
-            if remaining < 1.15 * worst_pair_sec:
+        remaining = (deadline - time.time()) if deadline is not None else None
+        if remaining is not None:
+            next_cost = worst_pair_sec if pairs else pair_floor_sec
+            if remaining < 1.15 * next_cost:
                 skipped = n_pairs - i
                 print(f"[scaling] budget: skipping {skipped} remaining "
                       f"pair(s) ({remaining:.0f}s left < 1.15 x "
-                      f"{worst_pair_sec:.0f}s slowest pair)",
+                      f"{next_cost:.0f}s estimated pair)",
                       file=sys.stderr, flush=True)
                 break
+        repeats = max_repeats
+        if remaining is not None and pairs and max_repeats > 1:
+            # slowest completed pair ran at `worst_repeats` timed runs;
+            # scale its cost to best-of-2 / best-of-1 estimates
+            per_repeat = worst_pair_sec / (0.4 + 0.6 * worst_repeats)
+            cost2 = per_repeat * (0.4 + 0.6 * max_repeats)
+            if remaining < 1.15 * cost2 * (n_pairs - i):
+                repeats = 1
+                print(f"[scaling] budget: pair {i + 1} drops to best-of-1 "
+                      f"({remaining:.0f}s left for {n_pairs - i} pair(s) "
+                      f"at ~{cost2:.0f}s best-of-2 each)",
+                      file=sys.stderr, flush=True)
         t0 = time.time()
-        p = _scaling_pair(n_pages)
+        p = _scaling_pair(n_pages, repeats=repeats)
         worst_pair_sec = max(worst_pair_sec, time.time() - t0)
+        worst_repeats = repeats
         # stream each pair to stderr the moment it lands: a harness
         # timeout mid-run must not erase already-measured evidence
         # (stdout stays reserved for the single final JSON line)
@@ -229,6 +260,10 @@ def _scaling_run(n_pages: int, n_pairs: int | None = None,
         pairs.append(p)
         if checkpoint_cb is not None:
             checkpoint_cb(_median_of(pairs, n_pairs, 0))
+    if not pairs:
+        return {"policy": "all %d pairs skipped: query phase consumed the "
+                          "budget" % n_pairs,
+                "pairs_skipped_due_to_budget": skipped, "attempts": []}
     return _median_of(pairs, n_pairs, skipped)
 
 
@@ -290,7 +325,60 @@ def main() -> None:
     checkpoint(None)
     result["pipeline"] = _scaling_run(PAGES_ROWS, deadline=deadline,
                                       checkpoint_cb=checkpoint)
-    print(json.dumps(result))
+    # full-precision final result to stderr (the BENCH-CHECKPOINT format
+    # tools/bench_delta.py and the checked-in BENCH/ artifacts use)
+    print("BENCH-CHECKPOINT " + json.dumps(result), file=sys.stderr,
+          flush=True)
+    print(_compact_line(result))
+
+
+# The harness records only the LAST ~2000 chars of stdout and json-parses
+# that tail: rounds 3 and 4 both produced rc=0 artifacts whose final JSON
+# line (~3.6 KB with 50 query timings at 3 dp + the nested pipeline dict)
+# arrived truncated at the parser -> `parsed: null`.  The final stdout line
+# is therefore COMPACT (1-dp timings, minified separators, trimmed pipeline)
+# with a deterministic shrink ladder guaranteeing it fits; the full-
+# precision result always precedes it on stderr as a BENCH-CHECKPOINT.
+_STDOUT_LINE_BUDGET = 1900
+
+
+def _compact_line(result: dict, budget: int = _STDOUT_LINE_BUDGET) -> str:
+    r = {"metric": result["metric"], "value": result["value"],
+         "unit": result["unit"],
+         "queries": {k: round(v, 1) for k, v in result["queries"].items()},
+         "sf": result["sf"]}
+    if result.get("query_errors"):
+        r["query_errors"] = {k: v[:80]
+                             for k, v in result["query_errors"].items()}
+    p = result.get("pipeline")
+    if p:
+        cp = {}
+        for side in ("n_cores", "n4_cores"):
+            if side in p:
+                cp[side] = {"cores": p[side]["cores"],
+                            "sec": round(p[side]["sec"], 1),
+                            "pages_per_sec": int(p[side]["pages_per_sec"]),
+                            "control_sec": round(p[side]["control_sec"], 1)}
+        for k in ("scaling_efficiency", "control_efficiency", "pages",
+                  "repeats", "policy", "pairs_skipped_due_to_budget"):
+            if k in p:
+                cp[k] = p[k]
+        cp["attempts"] = [{"raw": a["scaling_efficiency"],
+                           "ctl": a["control_efficiency"]}
+                          for a in p.get("attempts", [])]
+        r["pipeline"] = cp
+    # shrink ladder: each step drops detail that already lives in the
+    # stderr checkpoint, until the line fits the harness tail capture
+    for strip in (None, "percore", "queries"):
+        if strip == "percore" and "pipeline" in r:
+            r["pipeline"] = {k: v for k, v in r["pipeline"].items()
+                             if k not in ("n_cores", "n4_cores")}
+        elif strip == "queries":
+            r.pop("queries", None)
+        line = json.dumps(r, separators=(",", ":"))
+        if len(line) <= budget:
+            return line
+    return line
 
 
 if __name__ == "__main__":

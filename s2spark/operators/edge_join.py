@@ -108,14 +108,22 @@ def _level_set(edges_a: DataFrame, edges_b: DataFrame,
                                        F.floor(F.log2(val)))).alias("lvl")
     counts: dict[int, int] = {}
     max_ang = 0.0
-    for df in (edges_a, edges_b):
-        rows = (df.select(lvl, _edge_angle().alias("ang"))
-                .groupBy("lvl")
-                .agg(F.count(F.lit(1)).alias("cnt"), F.max("ang").alias("mx"))
-                .collect())
-        for r in rows:
-            counts[int(r["lvl"])] = counts.get(int(r["lvl"]), 0) + int(r["cnt"])
-            max_ang = max(max_ang, float(r["mx"]))
+    # ONE Spark job for both sides (they were two until round 5 — each
+    # re-evaluated its trig-heavy edge subtree and paid job overhead
+    # separately, ~9 s of the flagship query's latency at sf0.1); a
+    # self-join (same DataFrame object both sides) scans once — doubling
+    # its counts would rescale the cost function linearly, leaving the
+    # level-set argmin unchanged
+    per_side = edges_a.select(lvl, _edge_angle().alias("ang"))
+    if edges_b is not edges_a:
+        per_side = per_side.unionByName(
+            edges_b.select(lvl, _edge_angle().alias("ang")))
+    rows = (per_side.groupBy("lvl")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.max("ang").alias("mx"))
+            .collect())
+    for r in rows:
+        counts[int(r["lvl"])] = counts.get(int(r["lvl"]), 0) + int(r["cnt"])
+        max_ang = max(max_ang, float(r["mx"]))
     if not counts:
         return (0,)                       # both sides empty
     # the Column-side floor(log2(...)) above can disagree with the UDF's
@@ -328,26 +336,45 @@ def edge_crossing_join(edges_a: DataFrame, edges_b: DataFrame,
     by default each edge indexes at its own quantized fitting level
     (at most `max_levels` distinct levels — see module docstring).
 
+    FORCED-LEVEL CAVEAT: with `level` set, an edge LONGER than the min
+    cell width at that level (metrics.MIN_WIDTH.get_value(level); ~54
+    degrees at level 0, halving per level) can extend past its start
+    cell's Moore ring, so crossings against such an edge may be MISSED —
+    the single-level semantics have no coarser probe tier to catch them.
+    Auto mode (level=None) is complete for every edge length: edges
+    longer than the level-0 min width index all six faces outright.
+    Force a level only when a domain bound guarantees every edge fits it.
+
+    SELF-JOIN FAST PATH: passing the SAME DataFrame object as both
+    `edges_a` and `edges_b` (it must then carry BOTH key columns) runs
+    the fit-level histogram, the cell UDF, and the explode ONCE and
+    shares the checkpoint between the two sides — at sf0.1 this halves
+    the flagship self-join's heavy phase.
+
     Construction cost note: unless `level` is forced, CONSTRUCTING this
-    DataFrame runs two small Spark jobs (the <=31-row per-side fit-level
-    histograms in _level_set) — the level set parameterizes the cell UDF,
-    so it cannot be deferred into the plan.  The heavy work (cell explode
-    of both sides) is a LAZY localCheckpoint: nothing beyond the
-    histograms runs until the caller's first action, so explain()/plan
-    audits on the result stay cheap.
+    DataFrame runs one small Spark job (the <=31-row-per-side fit-level
+    histogram in _level_set, both sides unioned into a single job) — the
+    level set parameterizes the cell UDF, so it cannot be deferred into
+    the plan.  The heavy work (cell explode) is a LAZY localCheckpoint:
+    nothing beyond the histogram runs until the caller's first action,
+    so explain()/plan audits on the result stay cheap.
     """
     levels = (level,) if level is not None \
         else _level_set(edges_a, edges_b, max_levels)
     cells_udf = _edge_cells_udf(levels)
 
-    def keyed(df: DataFrame, key: str, prefix: str) -> DataFrame:
+    def keyed(df: DataFrame, keys: list[str]) -> DataFrame:
         cells = cells_udf(*[F.col(c) for c in EDGE_COLS])
         return df.select(
-            F.col(key),
-            *[F.col(c).alias(prefix + c) for c in EDGE_COLS],
+            *[F.col(k) for k in keys], *[F.col(c) for c in EDGE_COLS],
             F.explode(cells).alias("c")).select(
-            key, *[prefix + c for c in EDGE_COLS],
+            *keys, *EDGE_COLS,
             F.col("c.cell").alias("cell"), F.col("c.own").alias("own"))
+
+    def view(ck: DataFrame, key: str, prefix: str) -> DataFrame:
+        return ck.select(
+            key, *[F.col(c).alias(prefix + c) for c in EDGE_COLS],
+            "cell", "own")
 
     # each keyed side feeds BOTH join branches (as probe in one, index in
     # the other): checkpoint once instead of re-running the cell UDF +
@@ -359,8 +386,15 @@ def edge_crossing_join(edges_a: DataFrame, edges_b: DataFrame,
     # prefer persist() + an unpersist hook, or reliable checkpointing to
     # shared storage; in exchange, blocks are freed by the ContextCleaner
     # when the result is dropped instead of pinning executor storage.
-    a = keyed(edges_a, key_a, "a_").localCheckpoint(eager=False)
-    b = keyed(edges_b, key_b, "b_").localCheckpoint(eager=False)
+    if edges_a is edges_b:
+        ck = keyed(edges_a, [key_a, key_b]).localCheckpoint(eager=False)
+        a = view(ck, key_a, "a_")
+        b = view(ck, key_b, "b_")
+    else:
+        a = view(keyed(edges_a, [key_a]).localCheckpoint(eager=False),
+                 key_a, "a_")
+        b = view(keyed(edges_b, [key_b]).localCheckpoint(eager=False),
+                 key_b, "b_")
     # probe(A) |><| index(B)  UNION  index(A) |><| ancestors(B): branch 1
     # covers every pair with level(b) <= level(a) (a probes ancestors at
     # all coarser S levels incl. b's, and same-level own-cells meet

@@ -287,3 +287,22 @@ def test_random_long_edges_match_brute_force(spark):
            for r in edge_crossing_join(_edges_df(spark, edges, "edge_a"),
                                        _edges_df(spark, edges, "edge_b")).collect()}
     assert got == expect
+
+
+def test_self_join_fast_path_matches_two_copy_path(spark):
+    """Passing the SAME DataFrame object (carrying both key columns) must
+    produce exactly the pairs of the two-copies path: the shared
+    checkpoint is an execution-strategy change (one cell-UDF + explode
+    pass instead of two), never a semantic one."""
+    from pyspark.sql import functions as F
+    from s2spark.operators.edge_join import edge_crossing_join
+    rng = np.random.default_rng(99)
+    edges = _hemisphere_plus_short(rng, 200)
+    two_a = _edges_df(spark, edges, "edge_a")
+    two_b = _edges_df(spark, edges, "edge_b")
+    expect = {(int(r["edge_a"]), int(r["edge_b"]))
+              for r in edge_crossing_join(two_a, two_b).collect()}
+    both = two_a.withColumn("edge_b", F.col("edge_a"))
+    got = {(int(r["edge_a"]), int(r["edge_b"]))
+           for r in edge_crossing_join(both, both).collect()}
+    assert got == expect

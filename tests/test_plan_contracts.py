@@ -94,3 +94,20 @@ def test_lsh_pairs_no_cross_join(spark):
     plan = plan_of(entry.queries()["dedup_lsh_pairs"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_edge_crossing_join_plan_shape(spark):
+    """Lock the flagship edge-join plan (round 5): the self-join fast
+    path shares ONE cell-UDF+explode checkpoint between both join sides,
+    so the executed plan carries at most 3 Exchanges and at most 2 Arrow
+    stages (shared cell UDF + exact refine), with the candidate joins as
+    hash joins — never a nested-loop/cartesian fallback — and no
+    row-at-a-time Python anywhere."""
+    import __spark_entry__ as entry
+    plan = plan_of(entry.queries()["s2_edge_crossing_join"](spark, SF))
+    assert plan.count("Exchange") <= 3
+    assert 1 <= plan.count("ArrowEvalPython") <= 2
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
