@@ -62,13 +62,17 @@ class RegionCoverer:
         # deterministic work budget only trades a few interior cells for
         # bounded construction time.  Calibration: random caps at
         # max_cells=8 need <= 546 pops; the largest driver join polygon at
-        # max_cells=64 needs 16,713 — 256x max_cells covers both with
-        # headroom.  Exterior coverings are NOT budgeted (completeness is
+        # max_cells=64 needs 16,713 — 512x max_cells covers both with ~2x
+        # headroom (256x fell 2% short of that polygon: 16,384 < 16,713).
+        # Exterior coverings are NOT budgeted (completeness is
         # their contract, and their loop charges queued candidates against
         # max_cells, so it never degenerates this way).
-        self.interior_pop_budget = (256 * max_cells
+        self.interior_pop_budget = (512 * max_cells
                                     if interior_pop_budget is None
                                     else interior_pop_budget)
+        # observability for the budget (plans/audit.py
+        # interior_covering_metrics): refreshed by every interior covering
+        self.last_interior_stats: dict | None = None
 
     # -- public API ------------------------------------------------------------
 
@@ -216,6 +220,20 @@ class RegionCoverer:
             else:
                 candidate.is_terminal = True
                 self._add_candidate(region, candidate, result, pq, counter, interior)
+        if interior:
+            # a budget exhaustion is a PERFORMANCE cliff, not a
+            # correctness one: fewer interior cells -> more skin rows ->
+            # more exact-kernel work downstream.  Record it so operators
+            # can surface the degradation in the audit table.
+            self.last_interior_stats = {
+                "interior_cells": len(result),
+                "max_cells": self.max_cells,
+                "pops": pops,
+                "pop_budget": self.interior_pop_budget,
+                "budget_exhausted": bool(
+                    pq and pops >= self.interior_pop_budget
+                    and len(result) < self.max_cells),
+            }
         return np.array(result, dtype=np.uint64)
 
 

@@ -50,6 +50,29 @@ def skew_report(df: DataFrame, cell_col: str, tile_level: int = 8) -> DataFrame:
             .orderBy(F.desc("n_rows")))
 
 
+def interior_covering_metrics(spark, coverer, stage: str) -> DataFrame:
+    """One audit row per interior-covering construction: cells found vs
+    max_cells, pops spent vs the pop budget, and whether the budget cut
+    the covering short.  Exhaustion is a PERFORMANCE cliff, not a
+    correctness one — any contained-cell subset is a valid interior
+    covering, but fewer interior fast-accept cells mean more skin rows
+    and more exact-kernel work downstream — so a production operator
+    watches this row, not the query results, to see the degradation.
+    `coverer` is a kernel RegionCoverer whose `last_interior_stats` was
+    refreshed by its most recent get_interior_covering call."""
+    stats = coverer.last_interior_stats
+    if stats is None:
+        raise ValueError(
+            "coverer has no interior stats: call get_interior_covering "
+            "before auditing it")
+    return spark.createDataFrame(
+        [(stage, stats["interior_cells"], stats["max_cells"],
+          stats["pops"], stats["pop_budget"], stats["budget_exhausted"],
+          int(time.time() * 1000))],
+        "stage string, interior_cells long, max_cells long, pops long, "
+        "pop_budget long, budget_exhausted boolean, audit_ts_ms long")
+
+
 def append_audit(metrics_df: DataFrame, audit_dir: str) -> None:
     """Append metrics to the parquet audit table (Iceberg-append analog)."""
     os.makedirs(audit_dir, exist_ok=True)

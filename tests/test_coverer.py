@@ -238,3 +238,129 @@ def test_polygon_with_hole_covering_completeness():
         for pts in (vs[:, 0], vs[:, 1], vs[:, 2], vs[:, 3], centers):
             ok = _convex_inside(shell, pts) & ~_convex_inside(hole, pts)
             assert ok.all(), "interior-covering cell touches hole/exterior"
+
+
+def test_interior_budget_stats_recorded():
+    """Observability contract for the interior pop budget: an exhausted
+    budget (performance cliff: fewer fast-accept cells -> more skin work
+    downstream) must be visible in last_interior_stats, and an
+    unconstrained covering must report exhausted=False."""
+    cap = Cap.from_axis_angle(np.array([1.0, 0.0, 0.0]), 0.1)
+    cov = RegionCoverer(max_cells=8)
+    full = cov.get_interior_covering(cap)
+    stats = cov.last_interior_stats
+    assert stats is not None
+    assert stats["budget_exhausted"] is False
+    assert stats["interior_cells"] == len(full)
+    assert stats["max_cells"] == 8
+    assert 0 < stats["pops"] <= stats["pop_budget"]
+
+    tight = RegionCoverer(max_cells=8, interior_pop_budget=2)
+    trimmed = tight.get_interior_covering(cap)
+    t = tight.last_interior_stats
+    assert t["budget_exhausted"] is True
+    assert t["pops"] == 2 and t["pop_budget"] == 2
+    assert len(trimmed) <= len(full)
+
+
+def _cell_boundary_samples(cells):
+    """(k, m, 3) sample points on each cell: 4 vertices, 4 edge midpoints
+    (cell edges are geodesics, so normalized midpoints lie ON the edge),
+    and the center — a necessary-condition probe set for 'cell inside
+    region' that never consults the region's own predicates."""
+    from s2spark.kernel.cell import cells_vertices
+    vs = cells_vertices(np.asarray(cells, dtype=U))        # (k, 4, 3)
+    mids = vs + np.roll(vs, -1, axis=1)
+    centers = vs.sum(axis=1, keepdims=True)
+    pts = np.concatenate([vs, mids, centers], axis=1)
+    return pts / np.linalg.norm(pts, axis=2, keepdims=True)
+
+
+def test_random_caps_covering_completeness():
+    """Independent-oracle covering fuzz for CAPS (the regions s2_cap_query
+    leans on): membership is graded by raw arc distance to the axis —
+    arithmetic the Cap class's own contains/may_intersect predicates never
+    touch — matching the reference's random-cap sweep
+    (S2RegionCovererTest.cs:59-103) with an uncontaminatable oracle.
+    Points sampled inside the cap must land in covered leaves; interior-
+    covering cell boundary samples must all be inside the cap."""
+    rng = np.random.default_rng(20260817)
+    for trial in range(12):
+        c = rng.normal(size=3)
+        c /= np.linalg.norm(c)
+        r = math.radians(rng.uniform(0.05, 30.0))
+        cap = Cap.from_axis_angle(tuple(c), r)
+        covering = np.sort(np.asarray(
+            RegionCoverer(max_cells=8).get_covering(cap), dtype=U))
+        # sample: random directions, arc distance uniform in [0, r)
+        d = rng.normal(size=(4000, 3))
+        d -= (d @ c)[:, None] * c[None, :]
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        # 1e-9 rad inside the boundary: pure-ULP membership disputes are
+        # not covering bugs
+        t = rng.uniform(0.0, 1.0, 4000) * max(r - 1e-9, 0.0)
+        p = np.cos(t)[:, None] * c[None, :] + np.sin(t)[:, None] * d
+        p /= np.linalg.norm(p, axis=1, keepdims=True)
+        assert (np.arccos(np.clip(p @ c, -1, 1)) <= r).all()
+        leaves = ci.from_point(p[:, 0], p[:, 1], p[:, 2])
+        covered = contains_id(covering, leaves)
+        assert covered.all(), (
+            f"trial {trial}: {(~covered).sum()} in-cap points uncovered")
+        interior = RegionCoverer(max_cells=8).get_interior_covering(cap)
+        if len(interior):
+            pts = _cell_boundary_samples(interior).reshape(-1, 3)
+            ang = np.arccos(np.clip(pts @ c, -1, 1))
+            assert (ang <= r + 1e-12).all(), (
+                f"trial {trial}: interior-covering cell leaks outside cap")
+
+
+def test_random_rects_covering_completeness():
+    """Independent-oracle covering fuzz for LAT-LNG RECTS (the regions
+    s2_rect_query leans on), including wrapping lng intervals: points are
+    GENERATED from (lat, lng) pairs known to be inside the rect, so
+    membership needs no trig inversion at all; interior-covering cell
+    boundary samples are graded by raw arctan lat/lng recovery."""
+    from s2spark.kernel.rect_region import RectRegion
+
+    rng = np.random.default_rng(31337)
+    for trial in range(12):
+        lat_lo = rng.uniform(-75.0, 60.0)
+        lat_hi = lat_lo + rng.uniform(3.0, 25.0)
+        lng_lo = rng.uniform(-180.0, 180.0)
+        width = rng.uniform(5.0, 90.0)
+        lng_hi = lng_lo + width
+        if lng_hi > 180.0:
+            lng_hi -= 360.0          # wrapping interval (lo > hi)
+        rect = RectRegion.from_degrees(lat_lo, lng_lo, lat_hi, lng_hi)
+        covering = np.sort(np.asarray(
+            RegionCoverer(max_cells=8).get_covering(rect), dtype=U))
+        # generate in-rect points directly in latlng space, 1e-7 deg
+        # inside the boundary (ULP disputes are not covering bugs)
+        eps = 1e-7
+        lats = rng.uniform(lat_lo + eps, lat_hi - eps, 4000)
+        lngs = (lng_lo + eps
+                + rng.uniform(0.0, width - 2 * eps, 4000) + 180.0) \
+            % 360.0 - 180.0
+        lat_r, lng_r = np.radians(lats), np.radians(lngs)
+        p = np.stack([np.cos(lat_r) * np.cos(lng_r),
+                      np.cos(lat_r) * np.sin(lng_r),
+                      np.sin(lat_r)], axis=1)
+        leaves = ci.from_point(p[:, 0], p[:, 1], p[:, 2])
+        covered = contains_id(covering, leaves)
+        assert covered.all(), (
+            f"trial {trial}: {(~covered).sum()} in-rect points uncovered "
+            f"(rect {lat_lo:.3f}..{lat_hi:.3f} / {lng_lo:.3f}..{lng_hi:.3f})")
+        interior = RegionCoverer(max_cells=8).get_interior_covering(rect)
+        if len(interior):
+            pts = _cell_boundary_samples(interior).reshape(-1, 3)
+            plat = np.degrees(np.arctan2(
+                pts[:, 2], np.hypot(pts[:, 0], pts[:, 1])))
+            plng = np.degrees(np.arctan2(pts[:, 1], pts[:, 0]))
+            tol = 1e-9
+            ok_lat = (plat >= lat_lo - tol) & (plat <= lat_hi + tol)
+            if lng_lo <= lng_hi:
+                ok_lng = (plng >= lng_lo - tol) & (plng <= lng_hi + tol)
+            else:
+                ok_lng = (plng >= lng_lo - tol) | (plng <= lng_hi + tol)
+            assert (ok_lat & ok_lng).all(), (
+                f"trial {trial}: interior-covering cell leaks outside rect")

@@ -279,3 +279,30 @@ def test_streaming_tile_topk_append_bounded_state(spark, tmp_path):
     got_sorted = sorted(got, key=lambda r: r["rank"])
     assert [(r["tile_id"], r["n_pages"]) for r in got_sorted] == \
         [(r["tile_id"], r["n_pages"]) for r in batch]
+
+
+def test_interior_budget_audit_row(spark, tmp_path):
+    """plans/audit.py interior_covering_metrics: one appendable audit row
+    per interior covering, carrying cells-found vs max_cells and the
+    budget-exhausted flag, so production operators can see when interior
+    fast-accept coverage degraded."""
+    import numpy as np
+    from s2spark.kernel.cap import Cap
+    from s2spark.kernel.coverer import RegionCoverer
+    from s2spark.plans.audit import append_audit, interior_covering_metrics
+
+    cov = RegionCoverer(max_cells=8, interior_pop_budget=2)
+    with pytest.raises(ValueError):
+        interior_covering_metrics(spark, cov, "too-early")
+    cov.get_interior_covering(
+        Cap.from_axis_angle(np.array([1.0, 0.0, 0.0]), 0.1))
+    row_df = interior_covering_metrics(spark, cov, "join-coverings")
+    audit_dir = str(tmp_path / "audit")
+    append_audit(row_df, audit_dir)
+    back = spark.read.parquet(audit_dir).collect()
+    assert len(back) == 1
+    r = back[0]
+    assert r["stage"] == "join-coverings"
+    assert r["budget_exhausted"] is True
+    assert r["pops"] == 2 and r["pop_budget"] == 2
+    assert 0 <= r["interior_cells"] < r["max_cells"] == 8
