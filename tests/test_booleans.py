@@ -190,3 +190,68 @@ def test_inclusion_exclusion_area():
     lhs = U.get_area_centroid()[0] + I.get_area_centroid()[0]
     rhs = A.get_area_centroid()[0] + B.get_area_centroid()[0]
     assert lhs == pytest.approx(rhs, rel=1e-10)
+
+
+def test_boolean_point_set_laws_fuzz_with_holes():
+    """Point-set law fuzz where one operand carries a HOLE (the convex
+    fuzz above never nests loops, while the reference's relation matrices
+    exercise shell+hole polygons, S2PolygonTest.cs:15-61).  The holed
+    operand A is CONSTRUCTED as difference(shell, hole-island), so its
+    ground-truth membership is in_shell & ~in_hole — computed from the
+    convex inputs, never from A itself — and every law on (A, B) then
+    exercises boolean ops whose input already nests loops."""
+    rng = np.random.default_rng(50505)
+    holed_trials = 0
+    for trial in range(12):
+        # shell with >= 6 vertices: its inscribed cap radius is
+        # >= cos(pi/6) * r_shell, so a concentric island with vertex
+        # radius <= 0.4 * r_shell is strictly inside and the difference
+        # is a genuine shell+hole polygon
+        S, cs, rs = _random_cap_polygon(rng, int(rng.integers(6, 12)))
+        H, _, rh = _cap_polygon_at(
+            rng, cs, int(rng.integers(3, 8)),
+            max_radius_deg=max(2.01, 0.4 * math.degrees(rs)))
+        if rh >= 0.5 * rs:          # _cap_polygon_at floors radius at 2 deg
+            continue                # tiny shell: skip, can't nest safely
+        A = booleans.difference(S, H)
+        assert len(A.loops) >= 2 and max(lp.depth for lp in A.loops) >= 1, \
+            f"trial {trial}: fixture failed to produce a hole"
+        holed_trials += 1
+        # B: near the shell boundary (even trials) or near the hole
+        # boundary (odd trials), so B regularly straddles the hole edge
+        anchor_r = rs if trial % 2 == 0 else rh
+        cb = cs + rng.normal(scale=math.sin(max(anchor_r, 1e-3)), size=3)
+        cb /= np.linalg.norm(cb)
+        B, cb, rb = _cap_polygon_at(rng, cb, int(rng.integers(3, 10)),
+                                    max_radius_deg=25.0)
+        pts = []
+        for c, r in ((cs, rs), (cs, max(rh, 1e-3)), (cb, rb)):
+            d = rng.normal(size=(3000, 3))
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+            t = r * rng.uniform(0.0, 2.5, 3000)
+            p = (np.cos(t)[:, None] * c[None, :]
+                 + np.sin(t)[:, None] * np.cross(c, d))
+            p /= np.linalg.norm(p, axis=1, keepdims=True)
+            pts.append(p)
+        g = rng.normal(size=(2000, 3))
+        pts.append(g / np.linalg.norm(g, axis=1, keepdims=True))
+        P = np.concatenate(pts)
+        x, y, z = P[:, 0], P[:, 1], P[:, 2]
+        in_a = S.contains_points(x, y, z) & ~H.contains_points(x, y, z)
+        assert np.array_equal(A.contains_points(x, y, z), in_a), \
+            f"trial {trial}: holed construction law"
+        in_b = B.contains_points(x, y, z)
+        I = booleans.intersection(A, B)
+        U = booleans.union(A, B)
+        D = booleans.difference(A, B)
+        Drev = booleans.difference(B, A)
+        assert np.array_equal(I.contains_points(x, y, z), in_a & in_b), \
+            f"trial {trial}: intersection law (holed operand)"
+        assert np.array_equal(U.contains_points(x, y, z), in_a | in_b), \
+            f"trial {trial}: union law (holed operand)"
+        assert np.array_equal(D.contains_points(x, y, z), in_a & ~in_b), \
+            f"trial {trial}: difference law (holed operand)"
+        assert np.array_equal(Drev.contains_points(x, y, z), in_b & ~in_a), \
+            f"trial {trial}: reverse-difference law (B minus holed A)"
+    assert holed_trials >= 10, \
+        f"only {holed_trials} holed trials ran — fixture generator drifted"

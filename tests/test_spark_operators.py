@@ -1,6 +1,8 @@
 """Spark-integration tests for the distributed operators (small local
 session; conformance anchored to the pure-kernel brute force)."""
 
+import math
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -338,3 +340,40 @@ def test_nearest_track_join(spark):
     out = {r["doc_id"]: r["track_id"] for r in
            nearest_track_join(spark, pts, tracks, radius_rad=0.1).collect()}
     assert out == {1: 1, 2: 2}
+
+
+def test_knn_doubling_crosses_planet_radius_regime(spark):
+    """knn.py's all-faces fallback was proven for direct radius_join
+    calls; this pins the COMPOSITION: knn_join's ring doubling itself
+    must widen past the ~54-deg level-0 bound (k unsatisfiable within a
+    hemisphere on a sparse fixture whose remaining neighbors sit beyond
+    120 deg) and still match brute force — the 'doubling never reaches
+    this regime' assumption is an invariant under test, not a comment
+    (knn.py:56-72)."""
+    import pandas as pd
+    from s2spark.operators.knn import knn_join
+    # 2 near neighbors + 4 far ones (>= 120 deg away); k=5 forces the
+    # search past the hemisphere for every query
+    qdf = C.with_cell_id(spark.createDataFrame(pd.DataFrame(
+        {"query_id": [0, 1], "lat": [0.0, 5.0], "lng": [0.0, 5.0]})),
+        "lat", "lng")
+    lats = np.array([1.0, -2.0, 10.0, -15.0, 5.0, 0.0])
+    lngs = np.array([1.0, 2.0, 150.0, -160.0, 175.0, -140.0])
+    ddf = C.with_cell_id(spark.createDataFrame(pd.DataFrame(
+        {"data_id": np.arange(6), "lat": lats, "lng": lngs})), "lat", "lng")
+    # initial 0.1 rad; rounds: 0.1 0.2 0.4 0.8 1.6 3.2 — crosses the
+    # 2r > MIN_WIDTH(0) threshold mid-search and ends covering the sphere
+    got = knn_join(qdf, ddf, k=5, initial_radius_rad=0.1,
+                   max_rounds=6).toPandas()
+    lat_r, lng_r = np.radians(lats), np.radians(lngs)
+    for qid, (qlat, qlng) in enumerate(((0.0, 0.0), (5.0, 5.0))):
+        qla, qln = math.radians(qlat), math.radians(qlng)
+        d = 2 * np.arcsin(np.sqrt(
+            np.sin((lat_r - qla) / 2) ** 2
+            + np.cos(lat_r) * np.cos(qla) * np.sin((lng_r - qln) / 2) ** 2))
+        order = np.lexsort((np.arange(6), d))
+        expect = order[:5].tolist()
+        sub = got[got.query_id == qid].sort_values("rank")
+        assert sub["data_id"].tolist() == expect, f"query {qid}"
+        assert np.allclose(np.sort(sub["distance_rad"].to_numpy()),
+                           np.sort(d[order[:5]]), atol=1e-12)
