@@ -225,6 +225,7 @@ def _scaling_run(n_pages: int, n_pairs: int | None = None,
     pairs = []
     skipped = 0
     worst_pair_sec = 0.0
+    worst_repeats = max_repeats
     for i in range(n_pairs):
         remaining = (deadline - time.time()) if deadline is not None else None
         if remaining is not None:
@@ -250,8 +251,9 @@ def _scaling_run(n_pages: int, n_pairs: int | None = None,
                       file=sys.stderr, flush=True)
         t0 = time.time()
         p = _scaling_pair(n_pages, repeats=repeats)
-        worst_pair_sec = max(worst_pair_sec, time.time() - t0)
-        worst_repeats = repeats
+        pair_sec = time.time() - t0
+        if pair_sec > worst_pair_sec:
+            worst_pair_sec, worst_repeats = pair_sec, repeats
         # stream each pair to stderr the moment it lands: a harness
         # timeout mid-run must not erase already-measured evidence
         # (stdout stays reserved for the single final JSON line)
