@@ -19,14 +19,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 6M pages (12M -> 8M -> 6M across rounds 3-5): each timed 2-core run is
-# still ~210 s — fixed driver-side planning (~3 s) stays ~1.5% of the
-# measurement, so the efficiency ratio is unaffected — and THREE full
+# 4M pages (12M -> 8M -> 4M across rounds 3-5): each timed 2-core run is
+# still ~140 s calm — fixed driver-side planning (~3 s) stays ~2% of the
+# measurement, so the efficiency ratio moves < 0.02 — and THREE full
 # scaling pairs PLUS the 50-query phase now fit the harness budget even on
 # a slow-host day (round 4's 8M pairs cost ~1116 s each under steal, so
-# only 2 of 3 fit and the even-pair "median" degenerated to the minimum).
+# only 2 of 3 fit and the even-pair "median" degenerated to the minimum;
+# a round-5 6M attempt still fit only 1 pair in a ~2x-steal window).
 # Cross-round throughput comparability is by pages_per_sec, not wall sec.
-PAGES_ROWS = int(os.environ.get("S2SPARK_BENCH_PAGES", "6000000"))
+PAGES_ROWS = int(os.environ.get("S2SPARK_BENCH_PAGES", "4000000"))
 # N vs 4N scaling pair: 2 -> 8 by default.  This host is a shared VM with
 # visible hypervisor steal: the pure-compute ceiling (sum(sin(id)), zero
 # shuffle, measured in-child as `control_sec`) is ~0.84 for 2 -> 8 cores but
@@ -180,7 +181,17 @@ def _median_of(pairs: list[dict], n_pairs: int, skipped: int) -> dict:
     median["attempts"] = [{"scaling_efficiency": p["scaling_efficiency"],
                            "control_efficiency": p["control_efficiency"]}
                           for p in pairs]
-    median["policy"] = "median of %d unconditional pairs" % n_pairs
+    if len(pairs) == n_pairs:
+        median["policy"] = "median of %d unconditional pairs" % n_pairs
+    elif len(pairs) % 2 == 1:
+        median["policy"] = ("median of %d completed of %d planned pairs"
+                            % (len(pairs), n_pairs))
+    else:
+        # even count: (len-1)//2 picks the LOWER middle — honest-
+        # conservative, but not a median; say so instead of claiming one
+        median["policy"] = ("lower-middle of %d completed of %d planned "
+                            "pairs (even count: conservative, not a median)"
+                            % (len(pairs), n_pairs))
     if skipped:
         median["pairs_skipped_due_to_budget"] = skipped
     return median
@@ -217,38 +228,47 @@ def _scaling_run(n_pages: int, n_pairs: int | None = None,
     if n_pairs is None:
         n_pairs = int(os.environ.get("S2SPARK_SCALE_PAIRS", "3"))
     max_repeats = int(os.environ.get("S2SPARK_CHILD_REPEATS", "2"))
-    # floor estimate of one best-of-1 pair at the default 6M pages on a
-    # calm host (2-core ~210s timed + warmups/control/startup, 8-core
-    # ~70s + overheads); scaled linearly if the page count is overridden
+    # floor estimate of one best-of-1 pair at the default 4M pages on a
+    # calm host (2-core ~140s timed + warmups/control/startup, 8-core
+    # ~50s + overheads); scaled linearly if the page count is overridden
     pair_floor_sec = float(os.environ.get(
-        "S2SPARK_PAIR_FLOOR_SEC", str(450.0 * n_pages / 6_000_000)))
+        "S2SPARK_PAIR_FLOOR_SEC", str(300.0 * n_pages / 4_000_000)))
     pairs = []
     skipped = 0
     worst_pair_sec = 0.0
     worst_repeats = max_repeats
     for i in range(n_pairs):
         remaining = (deadline - time.time()) if deadline is not None else None
+        # cost model: pair cost ~ per_repeat * (0.4 fixed share + 0.6 per
+        # timed run), anchored on the slowest completed pair (or the calm
+        # floor estimate before the first).  FIRST decide the child
+        # repeats (drop to best-of-1 when the remaining pairs would not
+        # all fit at best-of-2), THEN gate the launch on the cost AT THE
+        # CHOSEN repeats — the round-5 first cut checked launch viability
+        # against the best-of-2 cost before deciding repeats, which
+        # skipped pairs that fit fine at best-of-1.
+        if pairs:
+            per_repeat = worst_pair_sec / (0.4 + 0.6 * worst_repeats)
+        else:
+            per_repeat = pair_floor_sec
+        repeats = max_repeats
+        if remaining is not None and max_repeats > 1:
+            cost_full = per_repeat * (0.4 + 0.6 * max_repeats)
+            if remaining < 1.15 * cost_full * (n_pairs - i):
+                repeats = 1
+                print(f"[scaling] budget: pair {i + 1} drops to best-of-1 "
+                      f"({remaining:.0f}s left for {n_pairs - i} pair(s) "
+                      f"at ~{cost_full:.0f}s best-of-{max_repeats} each)",
+                      file=sys.stderr, flush=True)
         if remaining is not None:
-            next_cost = worst_pair_sec if pairs else pair_floor_sec
+            next_cost = per_repeat * (0.4 + 0.6 * repeats)
             if remaining < 1.15 * next_cost:
                 skipped = n_pairs - i
                 print(f"[scaling] budget: skipping {skipped} remaining "
                       f"pair(s) ({remaining:.0f}s left < 1.15 x "
-                      f"{next_cost:.0f}s estimated pair)",
+                      f"{next_cost:.0f}s estimated best-of-{repeats} pair)",
                       file=sys.stderr, flush=True)
                 break
-        repeats = max_repeats
-        if remaining is not None and pairs and max_repeats > 1:
-            # slowest completed pair ran at `worst_repeats` timed runs;
-            # scale its cost to best-of-2 / best-of-1 estimates
-            per_repeat = worst_pair_sec / (0.4 + 0.6 * worst_repeats)
-            cost2 = per_repeat * (0.4 + 0.6 * max_repeats)
-            if remaining < 1.15 * cost2 * (n_pairs - i):
-                repeats = 1
-                print(f"[scaling] budget: pair {i + 1} drops to best-of-1 "
-                      f"({remaining:.0f}s left for {n_pairs - i} pair(s) "
-                      f"at ~{cost2:.0f}s best-of-2 each)",
-                      file=sys.stderr, flush=True)
         t0 = time.time()
         p = _scaling_pair(n_pages, repeats=repeats)
         pair_sec = time.time() - t0
@@ -270,7 +290,7 @@ def _scaling_run(n_pages: int, n_pairs: int | None = None,
 
 
 def main() -> None:
-    from s2spark.plans.session import build_session
+    from s2spark.plans.session import build_session, release_session_state
     import __spark_entry__ as entry
 
     t_start = time.time()
@@ -302,6 +322,24 @@ def main() -> None:
             errors[name] = str(exc).splitlines()[0][:200]  # kill the round's bench
             print(f"[query {i + 1}/{len(BENCH_QUERIES)}] {name}: "
                   f"ERROR {errors[name]}", file=sys.stderr, flush=True)
+        # session hygiene, OUTSIDE the timed window.  Two leak classes tax
+        # every LATER query: (a) persisted blocks queries leave behind
+        # (iterative CC localCheckpoints, covering persists, lazy edge-join
+        # checkpoints); (b) shuffle files + broadcasts, which Spark's
+        # ContextCleaner frees only when the JVM happens to GC the weak
+        # refs — and an 8 GB heap under periodic allocation almost never
+        # full-GCs on its own (spark.cleaner.periodicGC.interval defaults
+        # to 30 MIN).  Same-window measurement at sf0.1, uncontended: edge
+        # join 9.3s fresh / 28.8s after 8 heavy queries (heap 4.5 GB) /
+        # 10.0s after the same heavies + this cleanup (heap 0.3 GB).
+        # Unpersist + one System.gc() per query keeps each timing the
+        # query's OWN cost; the gc costs ~0.1s on the drained heap.  This
+        # is exactly what r4's "27.8s driver vs ~5s standalone" edge-join
+        # mystery was: it ran 50th in the session.
+        try:
+            release_session_state(spark)
+        except Exception:   # noqa: BLE001 — hygiene must never kill a run
+            pass
     spark.stop()
 
     result = {

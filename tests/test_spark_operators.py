@@ -377,3 +377,23 @@ def test_knn_doubling_crosses_planet_radius_regime(spark):
         assert sub["data_id"].tolist() == expect, f"query {qid}"
         assert np.allclose(np.sort(sub["distance_rad"].to_numpy()),
                            np.sort(d[order[:5]]), atol=1e-12)
+
+
+def test_release_session_state_unpins_blocks(spark):
+    """release_session_state drops cached tables AND persisted RDDs (the
+    leak classes bench measured taxing a shared session 3.1x by query 50),
+    and leaves the session fully usable."""
+    from s2spark.plans.session import release_session_state
+
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    df.cache().count()
+    ck = spark.range(500).localCheckpoint()
+    assert ck.count() == 500
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert len(list(jmap.keys())) >= 1
+    n = release_session_state(spark)
+    assert n >= 1
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert len(list(jmap.keys())) == 0
+    # session still healthy after the explicit GC
+    assert spark.range(10).count() == 10
