@@ -713,6 +713,14 @@ def _q_near_dup(spark, sf_dir):
     return similarity.cosine_near_dup_pairs(emb, threshold=0.2, dim=64, bits=10)
 
 
+def _q_semdedup(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    # threshold 0.35 exercises real multi-member clusters on the synthetic
+    # embeddings (their within-cluster cosines top out ~0.5-0.6); a
+    # production text-embedding corpus would use the paper's ~0.95
+    return similarity.semdedup(emb, threshold=0.35, centroid_stride=31)
+
+
 def _q_embedding_stats(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     v = similarity.as_double_array(F.col("embedding"))
@@ -824,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_bruteforce_topk": _q_sim_bruteforce,
         "similarity_lsh_topk": _q_sim_lsh,
         "similarity_ivf_topk": _q_sim_ivf,
+        "similarity_semdedup": _q_semdedup,
         "embedding_stats": _q_embedding_stats,
         "relational_revenue_by_nation": _q_revenue,
         "events_daily_agg": _q_events_daily,
@@ -1052,6 +1061,40 @@ pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
           FROM db a JOIN db b USING (bucket) WHERE a.vec_id < b.vec_id)
 SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
+"""
+
+
+def _semdedup_oracle_sql(threshold: float = 0.35, stride: int = 31) -> str:
+    """SemDeDup: stride-quantizer assignment (same as the IVF oracle),
+    within-cluster cosine pairs, transitive closure via recursive CTE,
+    min-id canonical member per component."""
+    def cos(a, b):
+        return (f"round(list_dot_product({a}, {b}) / "
+                f"(sqrt(list_dot_product({a}, {a})) * "
+                f"sqrt(list_dot_product({b}, {b}))), 4)")
+    return f"""
+WITH RECURSIVE d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS cv FROM d WHERE vec_id % {stride} = 0),
+asg AS (SELECT vec_id, v, centroid_id FROM (
+    SELECT d.vec_id, d.v, c.centroid_id,
+           row_number() OVER (PARTITION BY d.vec_id
+               ORDER BY {cos('d.v', 'c.cv')} DESC, c.centroid_id ASC) AS rn
+    FROM d, cent c) WHERE rn = 1),
+pairs AS (SELECT * FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos('a.v', 'b.v')} AS cos_sim
+    FROM asg a JOIN asg b USING (centroid_id)
+    WHERE a.vec_id < b.vec_id) WHERE cos_sim >= {threshold}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (SELECT u, v FROM edges
+                UNION
+                SELECT reach.u, edges.v FROM reach
+                JOIN edges ON reach.v = edges.u),
+comp AS (SELECT u AS node, min(v) AS mn FROM reach GROUP BY u)
+SELECT d.vec_id,
+       least(d.vec_id, coalesce(c.mn, d.vec_id)) AS cluster_id,
+       (least(d.vec_id, coalesce(c.mn, d.vec_id)) = d.vec_id) AS is_kept
+FROM d LEFT JOIN comp c ON c.node = d.vec_id
 """
 
 
@@ -1399,6 +1442,7 @@ SELECT doc_id, n_words::BIGINT AS n_words, n_distinct,
         "similarity_lsh_topk": _lsh_topk_oracle_sql(),
         "similarity_ivf_topk": _ivf_topk_oracle_sql(),
         "similarity_near_dup_pairs": _near_dup_oracle_sql(),
+        "similarity_semdedup": _semdedup_oracle_sql(),
         "text_quality": _quality_oracle_sql(),
         "text_langid": _langid_oracle_sql(),
         "text_fingerprint": (

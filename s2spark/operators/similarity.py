@@ -211,3 +211,83 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(query_key, key_col, "cos_sim", "rank"))
+
+
+def semdedup(embeddings: DataFrame, threshold: float = 0.95,
+             centroid_stride: int = 31,
+             vec_col: str = "embedding", key_col: str = "vec_id") -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): remove documents
+    whose EMBEDDINGS are near-duplicates, catching paraphrases and
+    re-encodings that no lexical dedup (MinHash/SimHash/n-gram) can see.
+
+    Shape: cluster the embedding space with a coarse quantizer, compute
+    cosine similarity only WITHIN each cluster, threshold, and keep one
+    canonical member per connected component of the resulting graph.
+    The quantizer here is the same deterministic stride seeding as
+    `ivf_topk` (every `centroid_stride`-th vector by key) so the whole
+    pipeline is a pure function of the data and reproducible in the SQL
+    oracle; a production run would swap in k-means centroids — every
+    downstream stage is unchanged by that substitution.
+
+    Execution shape at 100 TB (mirrors the paper's reason for clustering
+    first — all-pairs cosine over the corpus is impossible):
+      * centroids are ~sqrt(N) rows -> BROADCAST; assignment is the same
+        map-side max_by partial aggregate as ivf_topk, so the one
+        assignment shuffle carries O(N) pre-reduced rows;
+      * the pair join is an EQUI-join on centroid_id — candidate pairs
+        are sum over clusters of |c|^2, never N^2.  With stride ~sqrt(N)
+        that is ~N*sqrt(N) worst case and ~N*stride typical; a skewed
+        quantizer (one mega-cluster) should be re-seeded, which is a
+        quantizer-quality problem the paper accepts, not a plan problem;
+      * components via the O(log n) large/small-star loop
+        (`dedup.connected_components`), min-id canonicalization.
+
+    Output: (key, cluster_id, is_kept) for EVERY input row — singletons
+    cluster with themselves; filtering on is_kept yields the
+    semantically-deduplicated corpus.  Schema mirrors `dedup_clusters`
+    so lexical and semantic dedup are drop-in interchangeable stages.
+    """
+    from .dedup import connected_components
+
+    d = embeddings.select(F.col(key_col),
+                          as_double_array(F.col(vec_col)).alias("v"))
+    cent = (d.where(F.col(key_col) % centroid_stride == 0)
+            .select(F.col(key_col).alias("centroid_id"), F.col("v").alias("cv")))
+
+    # nearest-centroid assignment: identical contract to ivf_topk
+    # (rounded cosine, ties to the lowest centroid id, max_by partial agg
+    # so the shuffle is O(N) not O(N x centroids))
+    sim = F.round(cosine(F.col("v"), F.col("cv")), 4)
+    assigned = (d.crossJoin(F.broadcast(cent))
+                .withColumn("sim", sim)
+                .groupBy(key_col)
+                .agg(F.max_by(
+                    F.struct(F.col("centroid_id"), F.col("v")),
+                    F.struct(F.col("sim"),
+                             (-F.col("centroid_id")).alias("nc"))).alias("a"))
+                .select(F.col(key_col),
+                        F.col("a.v").alias("v"),
+                        F.col("a.centroid_id").alias("centroid_id")))
+
+    # within-cluster pairs only: equi-join on centroid_id
+    lhs = assigned.select("centroid_id", F.col(key_col).alias("id_a"),
+                          F.col("v").alias("va"))
+    rhs = assigned.select("centroid_id", F.col(key_col).alias("id_b"),
+                          F.col("v").alias("vb"))
+    pairs = (lhs.join(rhs, "centroid_id")
+             .where(F.col("id_a") < F.col("id_b"))
+             .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+             .where(F.col("cos_sim") >= threshold)
+             .select("id_a", "id_b", "cos_sim")
+             # the pair set seeds both sides of the CC loop; materialize
+             # once (freed with the result, same rationale as
+             # dedup.dedup_clusters)
+             .localCheckpoint())
+
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (embeddings.select(F.col(key_col))
+            .join(comp.withColumnRenamed("node", key_col), key_col, "left")
+            .select(F.col(key_col),
+                    F.coalesce("component", F.col(key_col)).alias("cluster_id"))
+            .withColumn("is_kept", F.col("cluster_id") == F.col(key_col)))

@@ -99,3 +99,80 @@ def test_ivf_assignment_shuffles_O_N_not_NxC(emb, queries):
     assert "windowspecdefinition(vec_id" not in plan
     # assignment argmax runs as partial (map-side) max_by aggregation
     assert "partial_max_by" in plan
+
+
+def _semdedup_brute_force(emb_df, threshold=0.35, stride=31):
+    """Independent oracle: numpy assignment + union-find over
+    within-cluster pairs, same rounding/tie-break contract."""
+    import numpy as np
+
+    rows = emb_df.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    v = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, v = ids[order], v[order]
+    cmask = ids % stride == 0
+    cids, cv = ids[cmask], v[cmask]
+    sims = np.round(v @ cv.T, 4)
+    # argmax by (sim desc, centroid_id asc): centroids are sorted by id,
+    # np.argmax takes the FIRST max -> lowest centroid id on ties
+    assign = cids[np.argmax(sims, axis=1)]
+
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for c in np.unique(assign):
+        member_idx = np.where(assign == c)[0]
+        mv, mids = v[member_idx], ids[member_idx]
+        cs = np.round(mv @ mv.T, 4)
+        n = len(member_idx)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if cs[i, j] >= threshold:
+                    a, b = find(int(mids[i])), find(int(mids[j]))
+                    if a != b:
+                        lo, hi = min(a, b), max(a, b)
+                        parent[hi] = lo
+    return {int(i): find(int(i)) for i in ids}
+
+
+def test_semdedup_matches_brute_force(emb):
+    got = {r["vec_id"]: (r["cluster_id"], r["is_kept"])
+           for r in similarity.semdedup(emb, threshold=0.35).collect()}
+    want = _semdedup_brute_force(emb, threshold=0.35)
+    assert set(got) == set(want)
+    for vid, comp in want.items():
+        assert got[vid] == (comp, comp == vid), vid
+    # sanity: the fixture actually exercises multi-member clusters
+    n_dropped = sum(1 for _, (c, kept) in got.items() if not kept)
+    assert n_dropped > 0
+
+
+def test_semdedup_covers_every_row_once(emb):
+    out = similarity.semdedup(emb, threshold=0.35)
+    n = emb.count()
+    assert out.count() == n
+    assert out.select("vec_id").distinct().count() == n
+    # exactly one kept canonical per cluster, and it is the min id
+    agg = (out.groupBy("cluster_id")
+           .agg(F.sum(F.col("is_kept").cast("int")).alias("n_kept"),
+                F.min("vec_id").alias("mn"))
+           .collect())
+    for r in agg:
+        assert r["n_kept"] == 1
+        assert r["mn"] == r["cluster_id"]
+
+
+def test_semdedup_threshold_monotone(emb):
+    """A stricter threshold can only drop FEWER documents."""
+    loose = similarity.semdedup(emb, threshold=0.3)
+    strict = similarity.semdedup(emb, threshold=0.45)
+    n_loose = loose.where(~F.col("is_kept")).count()
+    n_strict = strict.where(~F.col("is_kept")).count()
+    assert n_strict <= n_loose
