@@ -654,6 +654,11 @@ def _q_token_count(spark, sf_dir):
     return textstats.token_counts(_read(spark, sf_dir, "documents"))
 
 
+def _q_pack_sequences(spark, sf_dir):
+    return textstats.pack_sequences(_read(spark, sf_dir, "documents"),
+                                    budget_tokens=2048)
+
+
 def _q_decontamination(spark, sf_dir):
     """Benchmark decontamination: eval set = doc_id % 13 == 0 (stand-in for
     a held-out benchmark), corpus = the rest; word-3-gram overlap flags."""
@@ -824,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "text_doc_stats": _q_doc_stats,
         "text_token_count": _q_token_count,
+        "text_sequence_packing": _q_pack_sequences,
         "text_decontamination": _q_decontamination,
         "text_repetition": _q_repetition,
         "text_domain_stats": _q_domain_stats,
@@ -1458,6 +1464,19 @@ SELECT doc_id,
     len(string_split({_NORM_SQL}, ' ')) AS n_ws_tokens,
     n_bpe AS n_bpe_tokens,
     {ratio('strlen(text)::DOUBLE', 'n_bpe')} AS bytes_per_token
+FROM c
+""",
+        "text_sequence_packing": f"""
+WITH t AS (SELECT doc_id,
+    len(regexp_extract_all(text, '{escape_re_sql(textstats.BPE_TOKEN_PATTERN)}'))::BIGINT AS n_tokens
+    FROM documents),
+c AS (SELECT doc_id, n_tokens,
+    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM t)
+SELECT doc_id, n_tokens,
+    (cb // 2048)::BIGINT AS pack_id,
+    (cb % 2048)::BIGINT AS pack_offset
 FROM c
 """,
         "text_doc_stats": f"""

@@ -238,3 +238,64 @@ def word_entropy(documents: DataFrame, text_col: str = "text",
         key_col, "n_words", "n_distinct",
         F.round(F.log2(F.col("n_words").cast("double"))
                 - F.col("__clogc") / F.col("n_words"), 6).alias("entropy_bits"))
+
+
+def pack_sequences(documents: DataFrame, budget_tokens: int = 2048,
+                   text_col: str = "text",
+                   key_col: str = "doc_id") -> DataFrame:
+    """Concatenate-and-chop sequence packing: lay the corpus out in key
+    order as one virtual token stream and chop it into fixed
+    `budget_tokens` training sequences (the GPT-2/LLaMA pretraining data
+    layout — documents may straddle pack boundaries; the pack id and the
+    in-pack offset are what the tensorizer needs to place each doc).
+
+    The whole op is one EXCLUSIVE PREFIX SUM of token counts in key
+    order — the classic operation Spark has no scalable built-in for (a
+    global `Window.orderBy` collapses the corpus onto ONE task).  The
+    scale shape is the textbook two-phase scan:
+
+      1. map-only per-doc BPE-ish token counts (JVM regex);
+      2. `repartitionByRange(key)` — contiguous key ranges per partition,
+         ~equal sizes from the range sampler;
+      3. per-partition totals -> driver (ONE row per partition, bounded
+         by cluster size, never by data) -> exclusive-scanned into
+         per-partition start offsets, broadcast back;
+      4. within-partition exclusive cumsum as a JVM window over the
+         stamped partition id + the broadcast offset.
+
+    The result is a pure function of (data, budget): cum_before(doc) =
+    total tokens of all lower-keyed docs, independent of how the range
+    sampler actually drew the partition boundaries.  The stamped frame is
+    localCheckpointed so the partition ids seen by step 3 and step 4 are
+    the same materialization (2 longs/doc; freed with the result).
+
+    Output: (key, n_tokens, pack_id, pack_offset) with
+    pack_id = cum_before // budget, pack_offset = cum_before % budget.
+    """
+    t = documents.select(F.col(key_col),
+                         bpe_token_count(F.col(text_col))
+                         .cast("long").alias("n_tokens"))
+    ranged = (t.repartitionByRange(F.col(key_col))
+              .withColumn("__pid", F.spark_partition_id())
+              .localCheckpoint())
+
+    offsets_rows = (ranged.groupBy("__pid")
+                    .agg(F.sum("n_tokens").alias("tot"))
+                    .collect())                      # one row per partition
+    running = 0
+    offs = []
+    for r in sorted(offsets_rows, key=lambda r: r["__pid"]):
+        offs.append((int(r["__pid"]), running))
+        running += int(r["tot"])
+    spark = documents.sparkSession
+    off_df = spark.createDataFrame(offs, "__pid int, __off long")
+
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("__pid").orderBy(key_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = (F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+                  + F.col("__off"))
+    return (ranged.join(F.broadcast(off_df), "__pid")
+            .select(F.col(key_col), F.col("n_tokens"),
+                    F.floor(cum_before / budget_tokens).cast("long").alias("pack_id"),
+                    (cum_before % budget_tokens).cast("long").alias("pack_offset")))

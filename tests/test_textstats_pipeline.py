@@ -69,3 +69,45 @@ def test_stratified_sample_deterministic_and_rate(spark):
     n_de = len(a) - n_en
     assert 400 <= n_en <= 600    # ~50% of 1000
     assert 50 <= n_de <= 160     # ~10% of 1000
+
+
+def test_pack_sequences_matches_serial_scan(spark):
+    """Distributed two-phase prefix sum == the trivially-correct serial
+    scan (pandas cumsum over key order)."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = (textstats.pack_sequences(docs, budget_tokens=2048)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    # serial oracle from the SAME per-doc counts (the counts themselves
+    # are oracle-checked in text_token_count)
+    base = got[["doc_id", "n_tokens"]].sort_values("doc_id")
+    cb = base["n_tokens"].cumsum().shift(fill_value=0)
+    assert (got["pack_id"] == cb // 2048).all()
+    assert (got["pack_offset"] == cb % 2048).all()
+    # the fixture actually spans multiple packs and multiple range
+    # partitions (500 docs over 8 shuffle partitions)
+    assert got["pack_id"].nunique() > 1
+    assert len(got) == docs.count()
+
+
+def test_pack_sequences_offsets_within_budget(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = textstats.pack_sequences(docs, budget_tokens=512)
+    bad = out.where((F.col("pack_offset") < 0)
+                    | (F.col("pack_offset") >= 512)).count()
+    assert bad == 0
+    # stream layout is gapless: total tokens == last doc's cum_before +
+    # its n_tokens, and pack ids are the contiguous range implied by it
+    row = (out.select(
+        F.sum("n_tokens").alias("tot"),
+        F.max(F.col("pack_id") * 512 + F.col("pack_offset")).alias("last_cb"),
+        F.max("pack_id").alias("max_pack")).collect()[0])
+    last = out.orderBy(F.desc("doc_id")).limit(1).collect()[0]
+    assert row["last_cb"] == last["pack_id"] * 512 + last["pack_offset"]
+    assert row["max_pack"] == (row["tot"] - last["n_tokens"]) // 512
+
+
+def test_pack_sequences_deterministic(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = textstats.pack_sequences(docs, 1024).orderBy("doc_id").collect()
+    b = textstats.pack_sequences(docs, 1024).orderBy("doc_id").collect()
+    assert a == b
