@@ -659,6 +659,15 @@ def _q_pack_sequences(spark, sf_dir):
                                     budget_tokens=2048)
 
 
+def _q_tfidf_topk(spark, sf_dir):
+    return textstats.tfidf_topk(_read(spark, sf_dir, "documents"), k=5)
+
+
+def _q_ngram_topk(spark, sf_dir):
+    return textstats.ngram_topk(_read(spark, sf_dir, "documents"),
+                                n=2, k=50)
+
+
 def _q_decontamination(spark, sf_dir):
     """Benchmark decontamination: eval set = doc_id % 13 == 0 (stand-in for
     a held-out benchmark), corpus = the rest; word-3-gram overlap flags."""
@@ -830,6 +839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_stats": _q_doc_stats,
         "text_token_count": _q_token_count,
         "text_sequence_packing": _q_pack_sequences,
+        "text_tfidf_topk": _q_tfidf_topk,
+        "text_ngram_topk": _q_ngram_topk,
         "text_decontamination": _q_decontamination,
         "text_repetition": _q_repetition,
         "text_domain_stats": _q_domain_stats,
@@ -1478,6 +1489,30 @@ SELECT doc_id, n_tokens,
     (cb // 2048)::BIGINT AS pack_id,
     (cb % 2048)::BIGINT AS pack_offset
 FROM c
+""",
+        "text_tfidf_topk": f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+           tf.tf * ln(n.n_docs / dfq.df) AS s
+           FROM tf JOIN dfq USING (term), n),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+           ORDER BY round(s, 9) DESC, term) AS rank FROM scored)
+SELECT doc_id, term, tf, df, {round_d('s', 6)} AS tfidf, rank
+FROM ranked WHERE rank <= 5
+""",
+        "text_ngram_topk": f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+g AS (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+       for i in range(1, greatest(len(w) - 1, 0) + 1)]) AS ngram FROM toks),
+agg AS (SELECT ngram, count(*) AS n_occurrences,
+        count(DISTINCT doc_id) AS n_docs FROM g GROUP BY ngram)
+SELECT ngram, n_occurrences, n_docs FROM agg
+ORDER BY n_occurrences DESC, ngram LIMIT 50
 """,
         "text_doc_stats": f"""
 WITH base AS (SELECT doc_id, lang, text, {_NORM_SQL} AS norm FROM documents),

@@ -299,3 +299,79 @@ def pack_sequences(documents: DataFrame, budget_tokens: int = 2048,
             .select(F.col(key_col), F.col("n_tokens"),
                     F.floor(cum_before / budget_tokens).cast("long").alias("pack_id"),
                     (cum_before % budget_tokens).cast("long").alias("pack_offset")))
+
+def tfidf_topk(documents: DataFrame, k: int = 5,
+               text_col: str = "text",
+               key_col: str = "doc_id") -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic keyword-extraction /
+    corpus-indexing signal for training-data curation (what is this page
+    ABOUT, which pages over-index on boilerplate terms).
+
+    Plan (all JVM expressions, partial-aggregated):
+      1. normalize + whitespace-split + explode (map-only);
+      2. (doc, term) counts -> tf                [shuffle on (doc, term)];
+      3. term document-frequency from the tf frame (each (doc, term) row
+         is distinct by construction)            [shuffle on term];
+      4. tf |><| df on term, idf from the corpus count N;
+      5. per-doc row_number window, keep rank <= k [shuffle on doc].
+
+    Construction cost note: N is ONE bounded count() job at construction
+    (a scalar, never O(data) rows on the driver) — folding it into the
+    plan as a 1-row broadcast cross join costs a BroadcastNestedLoopJoin
+    plus extra exchanges for no benefit.
+
+    Ranking is on round(score, 9) DESC, term ASC: mathematically tied
+    scores (common: same tf, same df) order deterministically, and the
+    9-dp round absorbs last-ulp ln() differences across engines so the
+    DuckDB oracle ranks identically.  At 100 TB the term-keyed stages
+    are plain hash aggregations on a uniform key; hapax terms can be
+    pre-dropped with a min-df filter before the join if the vocabulary
+    itself needs bounding (not done here — it changes idf semantics).
+
+    Output: (key, term, tf, df, tfidf, rank), tfidf = tf * ln(N / df)
+    rounded to 6 dp.
+    """
+    from pyspark.sql.window import Window
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    ex = documents.select(F.col(key_col),
+                          F.explode(F.split(norm, " ")).alias("term"))
+    tf = ex.groupBy(key_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = float(documents.count())
+    scored = (tf.join(dfreq, "term")
+              .withColumn("__s", F.col("tf")
+                          * F.log(F.lit(n_docs) / F.col("df"))))
+    w = Window.partitionBy(key_col).orderBy(
+        F.round(F.col("__s"), 9).desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(key_col, "term", "tf", "df",
+                    F.round("__s", 6).alias("tfidf"), "rank"))
+
+
+def ngram_topk(documents: DataFrame, n: int = 2, k: int = 50,
+               text_col: str = "text",
+               key_col: str = "doc_id") -> DataFrame:
+    """Corpus-level top-k word n-grams — the boilerplate detector: the
+    most frequent bigrams in a web crawl are navigation chrome and
+    license banners, and their document frequency tells you whether a
+    gram is corpus-wide furniture or one hot document repeating itself.
+
+    Plan: map-only n-gram explode -> ONE hash aggregation keyed on the
+    gram (count + distinct-doc count, both partially aggregated) ->
+    global top-k via ORDER BY + LIMIT, which Spark executes as
+    TakeOrderedAndProject (per-partition heaps + driver merge of k rows,
+    never a full sort) — the shape that survives a 100-TB corpus.  Ties
+    at the k boundary break on the gram string, so the result is a
+    deterministic total order and the DuckDB oracle cuts the same k.
+
+    Output: (ngram, n_occurrences, n_docs), count-descending.
+    """
+    ex = documents.select(
+        F.col(key_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("ngram"))
+    agg = ex.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct(F.col(key_col)).alias("n_docs"))
+    return (agg.orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+            .limit(k))

@@ -111,3 +111,62 @@ def test_pack_sequences_deterministic(spark):
     a = textstats.pack_sequences(docs, 1024).orderBy("doc_id").collect()
     b = textstats.pack_sequences(docs, 1024).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_tfidf_topk_hand_computed(spark):
+    # 3 docs: "cat" appears in all (idf=ln(1)=0), "dog" in two,
+    # "ferret" in one — idf separates them; repetition drives tf.
+    import math
+    docs = spark.createDataFrame(
+        [(1, "cat dog ferret ferret"),
+         (2, "cat dog dog"),
+         (3, "cat cat cat")],
+        "doc_id long, text string")
+    rows = textstats.tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: ferret tf=2 df=1 -> 2*ln(3); dog tf=1 df=2 -> ln(1.5); cat 0
+    d1 = sorted(by_doc[1], key=lambda r: r["rank"])
+    assert [r["term"] for r in d1] == ["ferret", "dog"]
+    assert d1[0]["tf"] == 2 and d1[0]["df"] == 1
+    assert abs(d1[0]["tfidf"] - 2 * math.log(3.0)) < 1e-6
+    assert abs(d1[1]["tfidf"] - math.log(1.5)) < 1e-6
+    # doc 3: only "cat" (idf 0) exists; rank-1 is cat with tfidf 0
+    d3 = sorted(by_doc[3], key=lambda r: r["rank"])
+    assert d3[0]["term"] == "cat" and d3[0]["tfidf"] == 0.0
+    # every doc returns at most k rows and ranks are 1..len
+    for d, rs in by_doc.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] \
+            == list(range(1, len(rs) + 1))
+
+
+def test_tfidf_topk_tie_breaks_on_term(spark):
+    # two terms with identical (tf, df) in the same doc: rank by term asc
+    docs = spark.createDataFrame(
+        [(1, "zebra apple"), (2, "other words")],
+        "doc_id long, text string")
+    d1 = sorted((r for r in textstats.tfidf_topk(docs, k=2).collect()
+                 if r["doc_id"] == 1), key=lambda r: r["rank"])
+    assert [r["term"] for r in d1] == ["apple", "zebra"]
+
+
+def test_ngram_topk_counts_and_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "a cat sat")],
+        "doc_id long, text string")
+    rows = textstats.ngram_topk(docs, n=2, k=3).collect()
+    # "the cat" occurs twice (docs 1,2); "cat sat" twice (docs 1,3);
+    # tie at count 2 breaks on the gram string: "cat sat" < "the cat"
+    assert [(r["ngram"], r["n_occurrences"], r["n_docs"]) for r in rows] == [
+        ("cat sat", 2, 2), ("the cat", 2, 2), ("a cat", 1, 1)]
+
+
+def test_ngram_topk_limit_is_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(20)],
+        "doc_id long, text string")
+    a = textstats.ngram_topk(docs, n=2, k=2).collect()
+    b = textstats.ngram_topk(docs, n=2, k=2).collect()
+    assert a == b
+    assert [r["ngram"] for r in a] == ["alpha beta", "beta gamma"]
