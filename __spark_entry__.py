@@ -668,6 +668,14 @@ def _q_ngram_topk(spark, sf_dir):
                                 n=2, k=50)
 
 
+def _q_unigram_logprob(spark, sf_dir):
+    return textstats.unigram_logprob(_read(spark, sf_dir, "documents"))
+
+
+def _q_quantize_int8(spark, sf_dir):
+    return similarity.quantize_int8(_read(spark, sf_dir, "embeddings"))
+
+
 def _q_decontamination(spark, sf_dir):
     """Benchmark decontamination: eval set = doc_id % 13 == 0 (stand-in for
     a held-out benchmark), corpus = the rest; word-3-gram overlap flags."""
@@ -841,6 +849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sequence_packing": _q_pack_sequences,
         "text_tfidf_topk": _q_tfidf_topk,
         "text_ngram_topk": _q_ngram_topk,
+        "text_unigram_logprob": _q_unigram_logprob,
+        "embedding_quantize_int8": _q_quantize_int8,
         "text_decontamination": _q_decontamination,
         "text_repetition": _q_repetition,
         "text_domain_stats": _q_domain_stats,
@@ -1513,6 +1523,29 @@ agg AS (SELECT ngram, count(*) AS n_occurrences,
         count(DISTINCT doc_id) AS n_docs FROM g GROUP BY ngram)
 SELECT ngram, n_occurrences, n_docs FROM agg
 ORDER BY n_occurrences DESC, ngram LIMIT 50
+""",
+        "text_unigram_logprob": f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm),
+corpus AS (SELECT w, count(*)::DOUBLE AS cw FROM tok GROUP BY w),
+dtc AS (SELECT doc_id, w, count(*)::DOUBLE AS c FROM tok GROUP BY doc_id, w),
+agg AS (SELECT doc_id, sum(c) AS n_tokens, sum(c * log2(cw)) AS clogcw
+        FROM dtc JOIN corpus USING (w) GROUP BY doc_id)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+       {round_d('log2((SELECT count(*)::DOUBLE FROM tok)) - clogcw / n_tokens', 6)}
+       AS cross_entropy_bits
+FROM agg
+""",
+        "embedding_quantize_int8": f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+           FROM embeddings),
+s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS sc
+      FROM v)
+SELECT vec_id, len(e) AS dim, {round_d('sc', 6)} AS scale,
+       array_to_string(list_transform(e,
+           x -> CAST(round_even(x / greatest(sc, 1e-30) * 127, 0) AS INT)),
+           ',') AS q
+FROM s
 """,
         "text_doc_stats": f"""
 WITH base AS (SELECT doc_id, lang, text, {_NORM_SQL} AS norm FROM documents),

@@ -291,3 +291,32 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.95,
             .select(F.col(key_col),
                     F.coalesce("component", F.col(key_col)).alias("cluster_id"))
             .withColumn("is_kept", F.col("cluster_id") == F.col(key_col)))
+
+
+def quantize_int8(embeddings: DataFrame, vec_col: str = "embedding",
+                  key_col: str = "vec_id") -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column —
+    the standard 4x storage/bandwidth cut before ANN indexing or
+    shipping vectors through a shuffle: q_i = round_even(v_i/s * 127),
+    s = max |v_i| (so q spans [-127, 127]; dequantize as q*s/127).
+
+    Map-only JVM higher-order functions — no shuffle, no Python; the op
+    is embarrassingly parallel at any scale.  round-half-EVEN on an
+    identical double expression tree keeps the quantized codes
+    bit-identical across Spark, DuckDB, and numpy (the same parity note
+    as the S2 StToIj encode).  Zero vectors quantize to all-zero codes
+    via the epsilon-guarded scale.
+
+    Output: (key, dim, scale [6 dp], q [comma-joined int8 codes —
+    a string so the value hash is engine-portable]).
+    """
+    v = as_double_array(F.col(vec_col))
+    s = F.array_max(F.transform(v, F.abs))
+    safe = F.greatest(s, F.lit(1e-30))
+    q = F.transform(v, lambda x: F.bround(x / safe * 127, 0).cast("int"))
+    return embeddings.select(
+        F.col(key_col),
+        F.size(v).alias("dim"),
+        F.round(s, 6).alias("scale"),
+        F.concat_ws(",", F.transform(q, lambda x: x.cast("string")))
+        .alias("q"))

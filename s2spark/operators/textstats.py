@@ -7,6 +7,8 @@ and Python) so every operator here is oracle-checkable.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -375,3 +377,44 @@ def ngram_topk(documents: DataFrame, n: int = 2, k: int = 50,
         F.count_distinct(F.col(key_col)).alias("n_docs"))
     return (agg.orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
             .limit(k))
+
+
+def unigram_logprob(documents: DataFrame, text_col: str = "text",
+                    key_col: str = "doc_id") -> DataFrame:
+    """Per-document unigram cross-entropy (bits/token) under the corpus's
+    OWN unigram distribution — the cheap, model-free stand-in for the
+    CCNet-style LM-perplexity quality filter: pages full of rare junk
+    tokens score high (surprising under the corpus), natural prose built
+    from common words scores low.  Ranking by this column and cutting a
+    quantile is the standard perplexity-bucket curation step.
+
+    CE(doc) = -1/n * sum_w c_dw * log2(cw / N)
+            = log2(N) - sum_w(c_dw * log2 cw) / n
+    with c_dw the in-doc count, cw the corpus count, n the doc length,
+    N total corpus tokens.
+
+    Plan: token explode (map-only) -> corpus term counts [shuffle on
+    term, partial-agg] -> (doc, term) counts [shuffle on (doc, term)] ->
+    equi-join on term -> per-doc agg [shuffle on doc].  All JVM
+    expressions.  N is ONE bounded scalar agg at construction (same
+    pattern as tfidf_topk's corpus count).
+
+    Output: (key, n_tokens, cross_entropy_bits) rounded to 6 dp.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    n_total = documents.agg(
+        F.sum(F.size(toks)).cast("double").alias("n")).collect()[0]["n"]
+    ex = documents.select(F.col(key_col), F.explode(toks).alias("w"))
+    corpus = ex.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    dtc = ex.groupBy(key_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (dtc.join(corpus, "w")
+               .groupBy(key_col)
+               .agg(F.sum("c").alias("n_tokens"),
+                    F.sum(F.col("c") * F.log2(F.col("cw").cast("double")))
+                    .alias("__clogcw")))
+    return per_doc.select(
+        key_col, "n_tokens",
+        F.round(F.lit(math.log2(n_total))
+                - F.col("__clogcw") / F.col("n_tokens"), 6)
+        .alias("cross_entropy_bits"))

@@ -176,3 +176,31 @@ def test_semdedup_threshold_monotone(emb):
     n_loose = loose.where(~F.col("is_kept")).count()
     n_strict = strict.where(~F.col("is_kept")).count()
     assert n_strict <= n_loose
+
+
+def test_quantize_int8_hand_computed(spark):
+    from s2spark.operators.similarity import quantize_int8
+    emb = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.0]), (2, [0.0, 0.0]), (3, [-2.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    rows = {r["vec_id"]: r for r in quantize_int8(emb).collect()}
+    assert rows[1]["dim"] == 3 and rows[1]["scale"] == 1.0
+    # -0.5 * 127 = -63.5 -> round-half-even -> -64
+    assert rows[1]["q"] == "127,-64,0"
+    assert rows[2]["scale"] == 0.0 and rows[2]["q"] == "0,0"
+    assert rows[3]["scale"] == 2.0 and rows[3]["q"] == "-127,64"
+
+
+def test_quantize_int8_codes_bounded_and_dequant_close(spark):
+    from s2spark.operators.similarity import quantize_int8
+    import numpy as np
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(40)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    orig = {i: np.asarray(v, dtype=np.float32) for i, v in vecs}
+    for r in quantize_int8(emb).collect():
+        q = np.array([int(t) for t in r["q"].split(",")])
+        assert np.abs(q).max() <= 127
+        deq = q * (r["scale"] / 127.0)
+        # max-abs scaling: reconstruction error bounded by s/254 per dim
+        assert np.abs(deq - orig[r["vec_id"]]).max() <= r["scale"] / 254 + 1e-5

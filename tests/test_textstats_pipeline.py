@@ -170,3 +170,28 @@ def test_ngram_topk_limit_is_deterministic(spark):
     b = textstats.ngram_topk(docs, n=2, k=2).collect()
     assert a == b
     assert [r["ngram"] for r in a] == ["alpha beta", "beta gamma"]
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            textstats.unigram_logprob(docs).collect()}
+    # corpus: a=3, b=1, c=1, N=5
+    ce1 = math.log2(5) - (2 * math.log2(3) + 1 * math.log2(1)) / 3
+    ce2 = math.log2(5) - (math.log2(3) + math.log2(1)) / 2
+    assert rows[1]["n_tokens"] == 3 and rows[2]["n_tokens"] == 2
+    assert abs(rows[1]["cross_entropy_bits"] - ce1) < 1e-6
+    assert abs(rows[2]["cross_entropy_bits"] - ce2) < 1e-6
+
+
+def test_unigram_logprob_rare_junk_scores_higher(spark):
+    common = "the cat sat on the mat " * 5
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(1, 10)]
+        + [(10, "zxqv jkwp qqzz vvxx bbnn")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["cross_entropy_bits"]
+            for r in textstats.unigram_logprob(docs).collect()}
+    assert rows[10] > rows[1]
