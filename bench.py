@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "text_repetition", "text_domain_stats", "text_doc_stats",
     "corpus_sample_stratified", "embedding_stats",
     "stream_point_in_polygon", "s2_edge_crossing_join",
+    # round-5 additions
+    "similarity_semdedup", "text_sequence_packing",
+    "text_tfidf_topk", "text_ngram_topk",
+    "text_unigram_logprob", "embedding_quantize_int8",
 ]
 
 
