@@ -640,6 +640,53 @@ def _q_langid(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs")))
 
 
+def _q_pii_stats(spark, sf_dir):
+    """PII-pattern audit over text with deterministic injected spans (the
+    synthetic corpus carries no organic PII, so counts would be trivially
+    zero): emails on doc_id%3, URLs on %5, phone-shaped numbers on %7,
+    IPv4s on %11 — built identically in the SQL oracle."""
+    docs = _docs_par(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" contact user"), did,
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" see https://cdn"), did,
+                        F.lit(".example.org/asset"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" call 555-012-4242"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.lit(" from 192.168."),
+                        (F.col("doc_id") % 256).cast("string"),
+                        F.lit(".1"))).otherwise(F.lit("")))
+    return textstats.pii_stats(docs.withColumn("text", injected))
+
+
+def _q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization over deterministic messy URLs derived from
+    (doc_id, source): mixed-case scheme/host, www., default ports,
+    tracking params, unsorted query, trailing slash, fragment.  The SQL
+    oracle builds the identical messy URL and canonicalizes with the
+    identical steps, so the canonical dedup key is engine-portable."""
+    docs = _docs_par(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    messy = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("HTTP://"), F.col("source"),
+                 F.lit(".Example.com:80/A/"), did,
+                 F.lit("/?ref=z&z=9&utm_campaign=x"))
+    ).otherwise(
+        F.concat(F.lit("https://WWW."), F.col("source"),
+                 F.lit(".example.COM:443/B/"), did,
+                 F.lit("?b=2&a=1&fbclid=abc#frag")))
+    canon = textstats.canonicalize_url(F.col("url"))
+    return (docs.withColumn("url", messy)
+            .select("doc_id", canon.alias("url_canon"))
+            .withColumn("host", textstats.url_host(F.col("url_canon"))))
+
+
 def _q_fingerprint(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id",
@@ -842,6 +889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal,
         "similarity_near_dup_pairs": _q_near_dup,
         "text_quality": _q_quality,
+        "text_pii_stats": _q_pii_stats,
+        "text_url_canonicalize": _q_url_canonicalize,
         "text_langid": _q_langid,
         "text_fingerprint": _q_fingerprint,
         "text_doc_stats": _q_doc_stats,
@@ -1143,6 +1192,64 @@ pred AS (SELECT b.doc_id, CASE WHEN b.score > 0 THEN b.lg ELSE 'und' END AS lang
 SELECT t.lang, p.lang_pred, count(*) AS n_docs
 FROM toks t JOIN pred p USING (doc_id)
 GROUP BY 1, 2
+"""
+
+
+def _pii_stats_oracle_sql() -> str:
+    """Identical injected spans + the IDENTICAL regex patterns (shared
+    constant textstats.PII_PATTERNS — common Java-regex/RE2 subset)."""
+    pats = textstats.PII_PATTERNS
+    return f"""
+WITH injected AS (SELECT doc_id, text
+  || (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com' ELSE '' END)
+  || (CASE WHEN doc_id % 5 = 0 THEN ' see https://cdn' || doc_id::VARCHAR || '.example.org/asset' ELSE '' END)
+  || (CASE WHEN doc_id % 7 = 0 THEN ' call 555-012-4242' ELSE '' END)
+  || (CASE WHEN doc_id % 11 = 0 THEN ' from 192.168.' || (doc_id % 256)::VARCHAR || '.1' ELSE '' END)
+  AS t FROM documents),
+counts AS (SELECT doc_id,
+  len(regexp_extract_all(t, '{pats["n_emails"]}')) AS n_emails,
+  len(regexp_extract_all(t, '{pats["n_urls"]}')) AS n_urls,
+  len(regexp_extract_all(t, '{pats["n_phones"]}')) AS n_phones,
+  len(regexp_extract_all(t, '{pats["n_ipv4"]}')) AS n_ipv4
+  FROM injected)
+SELECT doc_id, n_emails, n_urls, n_phones, n_ipv4,
+       (n_emails + n_urls + n_phones + n_ipv4 > 0) AS has_pii
+FROM counts
+"""
+
+
+def _url_canonicalize_oracle_sql() -> str:
+    """Same messy-URL construction and the same five canonicalization
+    steps as textstats.canonicalize_url, in DuckDB SQL."""
+    return f"""
+WITH u AS (SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0
+    THEN 'HTTP://' || source || '.Example.com:80/A/' || doc_id::VARCHAR || '/?ref=z&z=9&utm_campaign=x'
+    ELSE 'https://WWW.' || source || '.example.COM:443/B/' || doc_id::VARCHAR || '?b=2&a=1&fbclid=abc#frag'
+  END AS url FROM documents),
+parts AS (SELECT doc_id, url,
+  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+  regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM u),
+hostpath AS (SELECT doc_id, url, scheme,
+  regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)), '^www\\.', '') AS host0,
+  regexp_replace(regexp_extract(rest, '^[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+  regexp_extract(url, '\\?([^#]*)', 1) AS qs
+  FROM parts),
+cleaned AS (SELECT doc_id, scheme, path,
+  CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+       WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+       ELSE host0 END AS host,
+  array_to_string(list_sort(list_filter(string_split(qs, '&'),
+      p -> p <> '' AND NOT regexp_matches(p, '{textstats.TRACKING_PARAM_RE}'))), '&') AS query
+  FROM hostpath)
+SELECT doc_id, url_canon,
+       regexp_replace(regexp_extract(url_canon,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$', '') AS host
+FROM (SELECT doc_id,
+      scheme || '://' || host || path ||
+      (CASE WHEN query <> '' THEN '?' || query ELSE '' END) AS url_canon
+      FROM cleaned)
 """
 
 
@@ -1471,6 +1578,8 @@ SELECT doc_id, n_words::BIGINT AS n_words, n_distinct,
         "similarity_near_dup_pairs": _near_dup_oracle_sql(),
         "similarity_semdedup": _semdedup_oracle_sql(),
         "text_quality": _quality_oracle_sql(),
+        "text_pii_stats": _pii_stats_oracle_sql(),
+        "text_url_canonicalize": _url_canonicalize_oracle_sql(),
         "text_langid": _langid_oracle_sql(),
         "text_fingerprint": (
             "SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT "

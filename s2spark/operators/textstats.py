@@ -418,3 +418,82 @@ def unigram_logprob(documents: DataFrame, text_col: str = "text",
         F.round(F.lit(math.log2(n_total))
                 - F.col("__clogcw") / F.col("n_tokens"), 6)
         .alias("cross_entropy_bits"))
+
+
+# PII-ish patterns, written to the common subset of Java regex (Spark) and
+# RE2 (DuckDB): character classes + bounded repeats only — no lookarounds,
+# no backreferences — so the SQL oracle runs the IDENTICAL pattern and
+# non-overlapping greedy match counts agree engine-to-engine.
+PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_urls": r"https?://[^\s]+",
+    "n_phones": r"[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "n_ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_stats(documents: DataFrame, text_col: str = "text",
+              key_col: str = "doc_id") -> DataFrame:
+    """Per-document PII-pattern accounting — the scrub/redact audit signal
+    of a web-text pipeline (emails, URLs, phone-shaped numbers, IPv4s).
+
+    Map-only: four `regexp_count` JVM expressions per row, whole-stage
+    codegen, zero shuffle — at 100 TB this is a pure scan-side pass that
+    pushes only (key, text) through the reader.
+
+    Output: (key, n_emails, n_urls, n_phones, n_ipv4, has_pii).
+    """
+    t = F.col(text_col)
+    counts = [F.regexp_count(t, F.lit(pat)).alias(name)
+              for name, pat in PII_PATTERNS.items()]
+    out = documents.select(F.col(key_col), *counts)
+    total = sum(F.col(n) for n in PII_PATTERNS)
+    return out.withColumn("has_pii", total > 0)
+
+
+# tracking-parameter predicate shared by the Spark operator and the SQL
+# oracle: a query param is dropped iff its key matches this (utm_*, ref,
+# fbclid, gclid) — the common list of redirect/campaign noise
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z]*|ref|fbclid|gclid)="
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an http(s) URL as a pure Column expression:
+
+    1. scheme + host lowercased; leading `www.` stripped
+    2. default ports stripped (`:80` for http, `:443` for https)
+    3. fragment stripped
+    4. tracking params (utm_*, ref, fbclid, gclid) dropped; the surviving
+       query params SORTED so param order never splits a dedup key
+    5. trailing slashes on the path stripped
+
+    Everything is regexp/split/filter/sort JVM expressions inside one
+    whole-stage-codegen project — no Python, no shuffle.  The identical
+    steps exist in SQL (`_url_canonicalize_oracle_sql`), so canonical
+    keys are engine-portable — what a dedup pipeline needs when the
+    crawl-side normalizer is not Spark.
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host0 = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    host1 = F.regexp_replace(host0, r"^www\.", "")
+    host = F.when(scheme == "https", F.regexp_replace(host1, r":443$", "")) \
+            .when(scheme == "http", F.regexp_replace(host1, r":80$", "")) \
+            .otherwise(host1)
+    path = F.regexp_replace(
+        F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1), r"/+$", "")
+    qs = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE))
+    query = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")))
+
+
+def url_host(url: Column) -> Column:
+    """Registrable host key of a canonicalized URL (authority sans port)."""
+    return F.regexp_replace(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+        r":[0-9]+$", "")

@@ -195,3 +195,76 @@ def test_unigram_logprob_rare_junk_scores_higher(spark):
     rows = {r["doc_id"]: r["cross_entropy_bits"]
             for r in textstats.unigram_logprob(docs).collect()}
     assert rows[10] > rows[1]
+
+
+def test_pii_stats_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b+c@sub.example.co.uk or x@y.io thanks"),
+         (2, "fetch https://ex.org/p?a=1 and http://e.net/x now"),
+         (3, "dial 555-123-4567 or 555 867 5309 today"),
+         (4, "server at 10.0.0.1 and 192.168.255.254"),
+         (5, "no sensitive content at all")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.pii_stats(df).collect()}
+    assert (got[1]["n_emails"], got[1]["has_pii"]) == (2, True)
+    assert got[2]["n_urls"] == 2
+    assert got[3]["n_phones"] == 2
+    assert got[4]["n_ipv4"] == 2
+    assert got[5] == (5, 0, 0, 0, 0, False)
+
+
+def test_pii_stats_spark_matches_duckdb_regex_semantics(spark):
+    """Non-overlapping greedy match counts must agree between Java regex
+    (Spark) and RE2 (DuckDB) for every PII pattern — the property the
+    oracle depends on.  Adversarial inputs: backtracking-sensitive email
+    hosts, adjacent matches, pattern-inside-pattern."""
+    import duckdb
+    texts = [
+        (1, "a@b.co.uk c@d.e.f.gg"),                  # backtracking host
+        (2, "x@y.io.x@z.com"),                        # adjacent/overlapping
+        (3, "https://a.b/c?d=e#f https://g.h"),       # url then url
+        (4, "1.2.3.4.5.6.7.8"),                       # chained ipv4 digits
+        (5, "555-123-4567890 555.123.4567"),          # over-long phone tail
+        (6, "user@192.168.0.1 http://u:p@h.io/q"),    # email-ish inside url
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in textstats.pii_stats(df).collect()}
+    con = duckdb.connect()
+    for doc_id, t in texts:
+        for name, pat in textstats.PII_PATTERNS.items():
+            want = con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [t, pat]).fetchone()[0]
+            assert got[doc_id][name] == want, (doc_id, name, t)
+
+
+def test_canonicalize_url_golden(spark):
+    cases = [
+        (1, "HTTPS://WWW.Ex.COM:443/A/B/?utm_source=x&b=2&a=1#frag",
+            "https://ex.com/A/B?a=1&b=2"),
+        (2, "http://Host.Org:80/path///",
+            "http://host.org/path"),
+        (3, "https://h.io:8443/p?ref=z",          # non-default port kept
+            "https://h.io:8443/p"),
+        (4, "http://a.b/?utm_campaign=c&utm_medium=m&gclid=g&fbclid=f",
+            "http://a.b"),                        # all params tracking
+        (5, "https://A.B",                        # no path, no query
+            "https://a.b"),
+        (6, "http://x.y/p?z=1&utmost=2",          # utmost is NOT utm_*
+            "http://x.y/p?utmost=2&z=1"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases],
+                               "doc_id long, url string")
+    got = {r["doc_id"]: r["c"] for r in df.select(
+        "doc_id",
+        textstats.canonicalize_url(F.col("url")).alias("c")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_url_host_strips_any_port(spark):
+    df = spark.createDataFrame(
+        [(1, "https://a.b.c:8443/p"), (2, "http://plain.io/x")],
+        "doc_id long, url string")
+    got = {r["doc_id"]: r["h"] for r in df.select(
+        "doc_id", textstats.url_host(F.col("url")).alias("h")).collect()}
+    assert got[1] == "a.b.c" and got[2] == "plain.io"
