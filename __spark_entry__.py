@@ -583,6 +583,32 @@ def _q_cc_clusters(spark, sf_dir):
                                 n=5, num_hashes=16, bands=4, threshold=0.8)
 
 
+def _q_dedup_resolve(spark, sf_dir):
+    """Near-dup resolution: cluster, then keep the LONGEST doc per cluster
+    (tie: smallest id) — the keep-best policy; emits the full
+    doc -> kept_doc redirect map."""
+    return dedup.dedup_resolve(_docs_par(spark, sf_dir),
+                               n=5, num_hashes=16, bands=4, threshold=0.8)
+
+
+def _q_line_dedup(spark, sf_dir):
+    """C4-style corpus line dedup over deterministically constructed
+    multi-line pages (the synthetic corpus is single-line): every page gets
+    a newsletter line, pages %2 a copyright footer, pages %3 a nav bar —
+    all three exceed min_count=3 and must vanish, while body lines survive
+    unless the body itself repeats >=3x (the corpus has exact dups, so
+    some do).  The SQL oracle builds the identical pages."""
+    docs = _docs_par(spark, sf_dir)
+    t2 = F.concat(
+        F.col("text"),
+        F.lit("\nsubscribe to our newsletter"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("\ncopyright 2024 example corp")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("\nhome | about | contact")).otherwise(F.lit("")))
+    return dedup.line_dedup(docs.withColumn("text", t2), min_count=3)
+
+
 def _corpus_filter_oracle_sql(num_hashes: int = 16, bands: int = 4,
                               n: int = 5, est_gate: float = 0.5,
                               split_id: int = 250) -> str:
@@ -883,6 +909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": _q_lsh_pairs,
         "dedup_verified_pairs": _q_verified_pairs,
         "dedup_cc_clusters": _q_cc_clusters,
+        "dedup_resolve": _q_dedup_resolve,
+        "text_line_dedup": _q_line_dedup,
         "dedup_corpus_filter": _q_corpus_filter,
         "s2_tile_quantiles": _q_tile_quantiles,
         "text_chunk_dedup": _q_chunk_dedup,
@@ -1065,6 +1093,70 @@ SELECT d.doc_id,
        least(d.doc_id, coalesce(c.mn, d.doc_id)) AS cluster_id,
        (least(d.doc_id, coalesce(c.mn, d.doc_id)) = d.doc_id) AS is_kept
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+def _dedup_resolve_oracle_sql(num_hashes: int = 16, bands: int = 4,
+                              n: int = 5, threshold: float = 0.8) -> str:
+    """Keep-longest near-dup resolution: the CC closure, then the
+    per-cluster argmax by (length DESC, doc_id ASC)."""
+    vp = _verified_pairs_oracle_sql(num_hashes, bands, n, threshold).strip()
+    return f"""
+WITH RECURSIVE pairs AS ({vp}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (SELECT u, v FROM edges
+                UNION
+                SELECT reach.u, edges.v FROM reach
+                JOIN edges ON reach.v = edges.u),
+comp AS (SELECT u AS node, min(v) AS mn FROM reach GROUP BY u),
+scored AS (SELECT d.doc_id,
+           least(d.doc_id, coalesce(c.mn, d.doc_id)) AS cluster_id,
+           length(d.text) AS len
+           FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+best AS (SELECT cluster_id, doc_id AS kept_doc_id FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+               ORDER BY len DESC, doc_id ASC) AS rn FROM scored)
+    WHERE rn = 1)
+SELECT s.doc_id, s.cluster_id, b.kept_doc_id,
+       (s.doc_id = b.kept_doc_id) AS is_kept
+FROM scored s JOIN best b USING (cluster_id)
+"""
+
+
+def _line_dedup_oracle_sql(min_count: int = 3) -> str:
+    """C4-style line dedup over the same constructed multi-line pages as
+    _q_line_dedup: trim lines, drop blanks, ban lines occurring >=
+    min_count corpus-wide, reassemble survivors in original order."""
+    return f"""
+WITH docs2 AS (SELECT doc_id,
+  text || chr(10) || 'subscribe to our newsletter'
+    || (CASE WHEN doc_id % 2 = 0
+        THEN chr(10) || 'copyright 2024 example corp' ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0
+        THEN chr(10) || 'home | about | contact' ELSE '' END) AS text
+  FROM documents),
+sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs2),
+l0 AS (SELECT doc_id, unnest(ls) AS raw,
+       generate_subscripts(ls, 1) AS idx FROM sp),
+lines AS (SELECT doc_id, idx, trim(raw) AS line FROM l0
+          WHERE length(trim(raw)) > 0),
+banned AS (SELECT line FROM lines GROUP BY line
+           HAVING count(*) >= {min_count}),
+kept AS (SELECT * FROM lines
+         WHERE line NOT IN (SELECT line FROM banned)),
+sizes AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+        string_agg(line, chr(10) ORDER BY idx ASC) AS text_clean
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(s.n_lines, 0)::BIGINT AS n_lines,
+       coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(a.text_clean, '') AS text_clean
+FROM documents d
+LEFT JOIN sizes s USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
 """
 
 
@@ -1530,6 +1622,8 @@ FROM per_session GROUP BY user_id
         "dedup_lsh_pairs": _lsh_pairs_oracle_sql(),
         "dedup_verified_pairs": _verified_pairs_oracle_sql(),
         "dedup_cc_clusters": _cc_clusters_oracle_sql(),
+        "dedup_resolve": _dedup_resolve_oracle_sql(),
+        "text_line_dedup": _line_dedup_oracle_sql(),
         "dedup_corpus_filter": _corpus_filter_oracle_sql(),
         "s2_tile_quantiles": encode_query(
             _DOCS_GEO_SQL,

@@ -581,3 +581,92 @@ def verified_near_dup_pairs(documents: DataFrame, text_col: str = "text",
                 F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6))
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def dedup_resolve(documents: DataFrame, text_col: str = "text",
+                  key_col: str = "doc_id", n: int = 5,
+                  num_hashes: int = 16, bands: int = 4,
+                  threshold: float = 0.8) -> DataFrame:
+    """Near-dup RESOLUTION: cluster, then keep the LONGEST document per
+    cluster (ties broken by smallest id).  `dedup_clusters` keeps the
+    min-id doc — an arbitrary representative; production pipelines
+    (RefinedWeb, CCNet-style curation) keep the *best* copy, and doc
+    length is the standard deterministic proxy when near-dups differ by
+    truncation or boilerplate trim.
+
+    Output per document: (doc_id, cluster_id, kept_doc_id, is_kept).
+    Filtering on is_kept yields the deduplicated corpus; the
+    (doc_id -> kept_doc_id) map is the redirect table for downstream
+    references.
+
+    Scale shape: one join of the cluster map to (doc_id, length) — both
+    keyed on doc_id, co-partitioned — then the per-cluster argmax as
+    max(struct(len, -id)), an ordinary partial-aggregatable max (map-side
+    combine absorbs giant boilerplate clusters; no window sort), and a
+    join back keyed on cluster_id (AQE skew-join splits any pathological
+    mega-cluster).
+    """
+    clusters = dedup_clusters(documents, text_col, key_col, n,
+                              num_hashes, bands, threshold) \
+        .select(key_col, "cluster_id")
+    scored = clusters.join(
+        documents.select(F.col(key_col),
+                         F.length(text_col).alias("__len")), key_col)
+    # argmax(len, then min id) as a plain max over (len, -id): partial
+    # aggregation applies, unlike a row_number window which must co-sort
+    # every cluster's rows in one partition.
+    best = (scored.groupBy("cluster_id")
+            .agg(F.max(F.struct(F.col("__len").alias("len"),
+                                (-F.col(key_col)).alias("neg_id"))).alias("b"))
+            .select("cluster_id", (-F.col("b.neg_id")).alias("kept_doc_id")))
+    return (scored.join(best, "cluster_id")
+            .select(key_col, "cluster_id", "kept_doc_id",
+                    (F.col(key_col) == F.col("kept_doc_id")).alias("is_kept")))
+
+
+def line_dedup(documents: DataFrame, text_col: str = "text",
+               key_col: str = "doc_id", min_count: int = 3) -> DataFrame:
+    """Corpus-level LINE deduplication (the C4 / Dolma boilerplate rule):
+    drop every line whose trimmed form occurs at least `min_count` times
+    across the corpus — navigation chrome, cookie banners, copyright
+    footers — and reassemble each document from its surviving lines in
+    original order.  Whitespace-only lines are removed outright.
+
+    Output per document: (doc_id, n_lines, n_kept, text_clean), where
+    text_clean joins kept lines with a single newline ('' if none
+    survive).
+
+    Scale shape: the line-frequency count is a hash aggregate with
+    map-side combine, so a line occurring a billion times still arrives
+    at the reducer as one partial count per mapper (no hot-key shuffle).
+    The banned set (count >= min_count) is tiny relative to distinct
+    lines and joins back as a left_anti keyed on the line — AQE picks a
+    broadcast when it fits and splits skewed probe partitions when it
+    does not.  Reassembly shuffles once keyed on doc_id (never skewed:
+    a doc's lines are bounded by the doc itself).
+    """
+    lines = (documents
+             .select(F.col(key_col),
+                     F.posexplode(F.split(F.col(text_col), "\n"))
+                     .alias("idx", "line"))
+             .withColumn("line", F.trim("line"))
+             .where(F.length("line") > 0))
+    banned = (lines.groupBy("line")
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .where(F.col("__n") >= min_count)
+              .select("line"))
+    kept = lines.join(banned, "line", "left_anti")
+    sizes = lines.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    assembled = (kept.groupBy(key_col)
+                 .agg(F.count(F.lit(1)).alias("n_kept"),
+                      F.concat_ws("\n", F.transform(
+                          F.array_sort(F.collect_list(
+                              F.struct("idx", "line"))),
+                          lambda s: s["line"])).alias("text_clean")))
+    return (documents.select(key_col)
+            .join(sizes, key_col, "left")
+            .join(assembled, key_col, "left")
+            .select(key_col,
+                    F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("text_clean", F.lit("")).alias("text_clean")))

@@ -51,3 +51,65 @@ def test_verified_near_dup_rejects_false_candidates(spark):
     sub = {(r["id_a"], r["id_b"]) for r in v}
     allc = {(r["id_a"], r["id_b"]) for r in cand.collect()}
     assert sub <= allc
+
+
+def test_dedup_resolve_keeps_longest(spark):
+    """Keep-best resolution: the LONGEST doc per near-dup cluster wins
+    (not the min id); length ties break to the smallest id; singletons
+    keep themselves."""
+    from s2spark.operators.dedup import dedup_resolve
+
+    base_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    base_b = "one two three four five six seven eight nine ten " * 4
+    base_c = "red orange yellow green blue indigo violet colors here now " * 4
+    rows = []
+    for i in range(4):                       # cluster 0: doc 3 longest
+        rows.append((i, base_a + f" tail{'x' * i}"))
+    for i in range(4, 7):                    # cluster 4: doc 6 longest
+        rows.append((i, base_b + f" tail{'y' * (i - 4)}"))
+    rows.append((7, "completely different text with its own words here okay"))
+    rows.append((8, base_c + " tailz0"))     # cluster 8: equal lengths ->
+    rows.append((9, base_c + " tailz1"))     #   tie-break to min id 8
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {r["doc_id"]: (r["cluster_id"], r["kept_doc_id"], r["is_kept"])
+           for r in dedup_resolve(docs, threshold=0.5).collect()}
+    assert len(out) == 10
+    for i in range(4):
+        assert out[i] == (0, 3, i == 3)
+    for i in range(4, 7):
+        assert out[i] == (4, 6, i == 6)
+    assert out[7] == (7, 7, True)
+    for i in (8, 9):
+        assert out[i] == (8, 8, i == 8)
+    kept = sorted(d for d, (_, _, k) in out.items() if k)
+    assert kept == [3, 6, 7, 8]              # exactly one survivor per cluster
+
+
+def test_line_dedup_drops_frequent_lines(spark):
+    """C4-style line dedup: lines at corpus count >= min_count vanish
+    (matched on their TRIMMED form), rarer lines survive in original
+    order, whitespace-only lines are removed outright, and fully-banned
+    or empty docs come back annotated with text_clean=''."""
+    from s2spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame([
+        (1, "unique one\nSHARED FOOTER\n  \ndup line"),
+        (2, "unique two\n  SHARED FOOTER  \ndup line"),
+        (3, "SHARED FOOTER\nunique three"),
+        (4, "SHARED FOOTER"),
+        (5, ""),
+    ], "doc_id long, text string")
+
+    out = {r["doc_id"]: r.asDict()
+           for r in line_dedup(docs, min_count=3).collect()}
+    assert len(out) == 5
+    # footer count 4 >= 3 -> banned everywhere; 'dup line' count 2 -> kept
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 2)
+    assert out[1]["text_clean"] == "unique one\ndup line"
+    assert out[2]["text_clean"] == "unique two\ndup line"
+    assert out[3]["text_clean"] == "unique three"
+    assert out[4] == {"doc_id": 4, "n_lines": 1, "n_kept": 0,
+                      "text_clean": ""}
+    assert out[5] == {"doc_id": 5, "n_lines": 0, "n_kept": 0,
+                      "text_clean": ""}
