@@ -808,6 +808,18 @@ def _q_near_dup(spark, sf_dir):
     return similarity.cosine_near_dup_pairs(emb, threshold=0.2, dim=64, bits=10)
 
 
+def _q_sim_recall(spark, sf_dir):
+    """ANN retrieval-quality gate: per-query recall@5 of both approximate
+    indexes (SRP-LSH multiprobe, IVF-flat) against the exact brute-force
+    top-k, in one annotated result."""
+    truth = _q_sim_bruteforce(spark, sf_dir)
+    ivf = similarity.recall_at_k(truth, _q_sim_ivf(spark, sf_dir)) \
+        .withColumn("method", F.lit("ivf"))
+    lsh = similarity.recall_at_k(truth, _q_sim_lsh(spark, sf_dir)) \
+        .withColumn("method", F.lit("srp_lsh"))
+    return ivf.unionByName(lsh)
+
+
 def _q_semdedup(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     # threshold 0.35 exercises real multi-member clusters on the synthetic
@@ -935,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_stratified": _q_stratified_sample,
         "similarity_bruteforce_topk": _q_sim_bruteforce,
         "similarity_lsh_topk": _q_sim_lsh,
+        "similarity_recall_at_k": _q_sim_recall,
         "similarity_ivf_topk": _q_sim_ivf,
         "similarity_semdedup": _q_semdedup,
         "embedding_stats": _q_embedding_stats,
@@ -1511,6 +1524,38 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
 """
 
 
+def _sim_recall_oracle_sql() -> str:
+    """Recall@5 of both ANN variants vs brute force: each existing oracle
+    query (own WITH block) nests as a CTE; recall joins are per-method."""
+    brute = _sim_bruteforce_oracle_sql().strip()
+    lsh = _lsh_topk_oracle_sql().strip()
+    ivf = _ivf_topk_oracle_sql().strip()
+
+    def block(method: str, approx: str) -> str:
+        return f"""
+SELECT q.query_id, q.n_true,
+       coalesce(r.n_retrieved, 0)::BIGINT AS n_retrieved,
+       coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       round(coalesce(h.n_hit, 0) / q.n_true, 4) AS recall,
+       '{method}' AS method
+FROM (SELECT query_id, count(*) AS n_true FROM truth GROUP BY query_id) q
+LEFT JOIN (SELECT query_id, count(*) AS n_retrieved FROM {approx}
+           GROUP BY query_id) r USING (query_id)
+LEFT JOIN (SELECT t.query_id, count(*) AS n_hit FROM truth t
+           JOIN {approx} a ON a.query_id = t.query_id
+                          AND a.vec_id = t.vec_id
+           GROUP BY t.query_id) h USING (query_id)"""
+
+    return f"""
+WITH truth AS ({brute}),
+lshq AS ({lsh}),
+ivfq AS ({ivf})
+{block('ivf', 'ivfq')}
+UNION ALL
+{block('srp_lsh', 'lshq')}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     pip_union = " UNION ALL ".join(
         f"SELECT doc_id, {pid} AS polygon_id FROM pts WHERE {_convex_contains_sql(pid)}"
@@ -1668,6 +1713,7 @@ SELECT doc_id, n_words::BIGINT AS n_words, n_distinct,
 """,
         "multimodal_features": _multimodal_oracle_sql(),
         "similarity_lsh_topk": _lsh_topk_oracle_sql(),
+        "similarity_recall_at_k": _sim_recall_oracle_sql(),
         "similarity_ivf_topk": _ivf_topk_oracle_sql(),
         "similarity_near_dup_pairs": _near_dup_oracle_sql(),
         "similarity_semdedup": _semdedup_oracle_sql(),

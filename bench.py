@@ -92,7 +92,7 @@ BENCH_QUERIES = [
     "text_tfidf_topk", "text_ngram_topk",
     "text_unigram_logprob", "embedding_quantize_int8",
     "text_pii_stats", "text_url_canonicalize",
-    "dedup_resolve", "text_line_dedup",
+    "dedup_resolve", "text_line_dedup", "similarity_recall_at_k",
 ]
 
 

@@ -368,3 +368,35 @@ def quantize_int8(embeddings: DataFrame, vec_col: str = "embedding",
         F.round(s, 6).alias("scale"),
         F.concat_ws(",", F.transform(q, lambda x: x.cast("string")))
         .alias("q"))
+
+
+def recall_at_k(truth: DataFrame, retrieved: DataFrame,
+                query_col: str = "query_id",
+                item_col: str = "vec_id") -> DataFrame:
+    """Retrieval-quality evaluation: per-query recall of an approximate
+    top-k result against the exact one — the measure-don't-guess gate
+    every ANN deployment needs before trading exactness for speed.
+
+    Output per truth query: (query_id, n_true, n_retrieved, n_hit,
+    recall) with recall = n_hit / n_true.  Queries absent from
+    `retrieved` score 0; items retrieved for queries absent from `truth`
+    are ignored (recall is defined over the truth set).
+
+    Scale shape: both inputs are top-k outputs (<= k rows per query), so
+    every stage — two partial-aggregatable counts and one inner join on
+    (query, item) — is bounded by k x #queries, never by corpus size.
+    """
+    t = truth.select(query_col, item_col)
+    r = retrieved.select(query_col, item_col)
+    n_true = t.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_true"))
+    n_ret = r.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("n_retrieved"))
+    n_hit = (t.join(r, [query_col, item_col])
+             .groupBy(query_col).agg(F.count(F.lit(1)).alias("n_hit")))
+    return (n_true.join(n_ret, query_col, "left")
+            .join(n_hit, query_col, "left")
+            .select(query_col, "n_true",
+                    F.coalesce("n_retrieved", F.lit(0)).alias("n_retrieved"),
+                    F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+                    F.round(F.coalesce("n_hit", F.lit(0)) / F.col("n_true"),
+                            4).alias("recall")))

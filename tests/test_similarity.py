@@ -204,3 +204,26 @@ def test_quantize_int8_codes_bounded_and_dequant_close(spark):
         deq = q * (r["scale"] / 127.0)
         # max-abs scaling: reconstruction error bounded by s/254 per dim
         assert np.abs(deq - orig[r["vec_id"]]).max() <= r["scale"] / 254 + 1e-5
+
+
+def test_recall_at_k_hand_computed(spark):
+    """recall_at_k on a hand-built truth/retrieved pair: full hit, partial
+    hit, zero-retrieved query, and extra retrieved items for an unknown
+    query (ignored — recall is defined over the truth set)."""
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30)],
+        "query_id long, vec_id long")
+    retrieved = spark.createDataFrame(
+        [(1, 10), (1, 11),          # query 1: both found
+         (2, 21), (2, 99),          # query 2: one of two + a miss
+         (9, 90)],                  # unknown query: ignored
+        "query_id long, vec_id long")
+    out = {r["query_id"]: r.asDict()
+           for r in similarity.recall_at_k(truth, retrieved).collect()}
+    assert sorted(out) == [1, 2, 3]
+    assert out[1] == {"query_id": 1, "n_true": 2, "n_retrieved": 2,
+                      "n_hit": 2, "recall": 1.0}
+    assert out[2] == {"query_id": 2, "n_true": 2, "n_retrieved": 2,
+                      "n_hit": 1, "recall": 0.5}
+    assert out[3] == {"query_id": 3, "n_true": 1, "n_retrieved": 0,
+                      "n_hit": 0, "recall": 0.0}

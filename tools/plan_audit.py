@@ -23,6 +23,7 @@ sys.path.insert(0, ".")
 # broadcast-literal probes
 ALLOW_NESTED = {
     "similarity_bruteforce_topk",   # the documented exact baseline
+    "similarity_recall_at_k",       # embeds the exact baseline as truth
     "similarity_ivf_topk",          # crossJoin(broadcast(sqrt(N) centroids))
     "s2_rect_distance",             # 3 literal query rects
     "s2_cap_query",                 # 3 literal query caps
