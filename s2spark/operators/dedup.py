@@ -670,3 +670,47 @@ def line_dedup(documents: DataFrame, text_col: str = "text",
                     F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
                     F.coalesce("text_clean", F.lit("")).alias("text_clean")))
+
+
+def lsh_collision_probability(jaccard: float, bands: int,
+                              rows_per_band: int) -> float:
+    """Probability a pair at the given Jaccard similarity shares at least
+    one LSH band bucket: 1 - (1 - j^r)^b (the banding S-curve, Mining of
+    Massive Datasets ch. 3).  Pure function — drives lsh_plan and lets a
+    pipeline report its own expected false-negative rate."""
+    return 1.0 - (1.0 - jaccard ** rows_per_band) ** bands
+
+
+def lsh_plan(threshold: float, max_hashes: int = 256) -> dict:
+    """Choose (num_hashes, bands, rows_per_band) whose S-curve midpoint
+    (1/b)^(1/r) sits closest to the target Jaccard threshold, subject to
+    bands * rows <= max_hashes.  Among near-ties (within 0.01) prefer
+    more total hashes — a steeper S-curve, i.e. fewer false positives
+    below the threshold AND fewer false negatives above it.  Returns the
+    plan plus its predicted catch/leak rates at threshold +/- 0.1 so the
+    caller can budget the verify stage.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    cands = [(abs((1.0 / b) ** (1.0 / r) - threshold), b * r, b, r,
+              (1.0 / b) ** (1.0 / r))
+             for r in range(1, max_hashes + 1)
+             for b in range(1, max_hashes // r + 1)]
+    min_err = min(c[0] for c in cands)
+    # among near-optimal midpoints, maximize hashes (steepness); break
+    # remaining ties by lower err, then fewer bands — fully deterministic
+    _, _, bands, rows, mid = max(
+        (c for c in cands if c[0] <= min_err + 0.01),
+        key=lambda c: (c[1], -c[0], -c[2]))
+    return {
+        "num_hashes": bands * rows,
+        "bands": bands,
+        "rows_per_band": rows,
+        "midpoint": round(mid, 4),
+        "p_catch_above": round(
+            lsh_collision_probability(min(threshold + 0.1, 0.999),
+                                      bands, rows), 4),
+        "p_leak_below": round(
+            lsh_collision_probability(max(threshold - 0.1, 0.001),
+                                      bands, rows), 4),
+    }

@@ -113,3 +113,95 @@ def test_line_dedup_drops_frequent_lines(spark):
                       "text_clean": ""}
     assert out[5] == {"doc_id": 5, "n_lines": 0, "n_kept": 0,
                       "text_clean": ""}
+
+
+def test_lsh_plan_scurve_properties():
+    """The band planner's midpoint lands near the target threshold, the
+    hash budget is respected, and the S-curve is monotone with the known
+    closed-form value at (b=4, r=4)."""
+    from s2spark.operators.dedup import lsh_collision_probability, lsh_plan
+
+    for t in (0.3, 0.5, 0.7, 0.8, 0.9):
+        for mh in (16, 64, 256):
+            p = lsh_plan(t, mh)
+            assert p["bands"] * p["rows_per_band"] == p["num_hashes"] <= mh
+            assert abs(p["midpoint"] - t) < 0.08
+            assert p["p_catch_above"] > p["p_leak_below"]
+            if mh >= 64:   # a 16-hash curve is too shallow to split 0.5
+                assert p["p_catch_above"] > 0.5 > p["p_leak_below"]
+    # closed form: p = 1 - (1 - j^r)^b
+    assert abs(lsh_collision_probability(0.8, 4, 4)
+               - (1 - (1 - 0.8 ** 4) ** 4)) < 1e-12
+    # monotone in jaccard
+    probs = [lsh_collision_probability(j / 20, 8, 8) for j in range(21)]
+    assert probs == sorted(probs)
+
+
+def test_line_dedup_matches_python_oracle(spark):
+    """Randomized corpus vs a pure-Python reimplementation: identical
+    (n_lines, n_kept, text_clean) for every doc."""
+    import random
+    from collections import Counter
+
+    from s2spark.operators.dedup import line_dedup
+
+    rng = random.Random(20260818)
+    words = ["nav", "home", "article", "foo", "bar", "baz", "qux"]
+    docs = []
+    for d in range(60):
+        n = rng.randint(0, 6)
+        ls = [" ".join(rng.choices(words, k=rng.randint(1, 3)))
+              for _ in range(n)]
+        if rng.random() < 0.3:
+            ls.insert(rng.randrange(len(ls) + 1), "   ")   # blank line
+        docs.append((d, "\n".join(ls)))
+
+    min_count = 3
+    trimmed = {d: [l.strip() for l in t.split("\n")] for d, t in docs}
+    nonblank = {d: [l for l in ls if l] for d, ls in trimmed.items()}
+    freq = Counter(l for ls in nonblank.values() for l in ls)
+    expect = {}
+    for d, ls in nonblank.items():
+        kept = [l for l in ls if freq[l] < min_count]
+        expect[d] = (len(ls), len(kept), "\n".join(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_lines"], r["n_kept"], r["text_clean"])
+           for r in line_dedup(df, min_count=min_count).collect()}
+    assert got == expect
+
+
+def test_dedup_resolve_random_invariants(spark):
+    """Random near-dup corpus: exactly one survivor per cluster; the
+    survivor has the cluster's max length and the smallest id among
+    max-length members; every member redirects to it."""
+    import random
+
+    from s2spark.operators.dedup import dedup_resolve
+
+    rng = random.Random(99)
+    rows = []
+    did = 0
+    for fam in range(8):
+        base = " ".join(f"w{fam}{i}" for i in range(30)) + " "
+        base = base * 3
+        for _ in range(rng.randint(1, 5)):
+            rows.append((did, base + "pad" * rng.randint(0, 4)))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lens = {d: len(t) for d, t in rows}
+
+    out = dedup_resolve(docs, threshold=0.5).collect()
+    assert len(out) == len(rows)
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        kept = [m for m in members if m["is_kept"]]
+        assert len(kept) == 1
+        k = kept[0]
+        max_len = max(lens[m["doc_id"]] for m in members)
+        assert lens[k["doc_id"]] == max_len
+        assert k["doc_id"] == min(m["doc_id"] for m in members
+                                  if lens[m["doc_id"]] == max_len)
+        assert all(m["kept_doc_id"] == k["doc_id"] for m in members)
