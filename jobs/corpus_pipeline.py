@@ -8,17 +8,22 @@ LLM training-data preparation flow, every stage a pure DataFrame plan,
 snapshot-checkpointed so a restarted job replays completed stages, and
 audited with per-partition lineage rows.
 
-  1. features   documents -> quality features + predicted language +
+  1. lines      C4-style corpus line dedup (boilerplate removal): lines
+                occurring >= 3x corpus-wide are stripped from every doc;
+                docs with no surviving line are dropped
+  2. features   documents -> quality features + predicted language +
                 BPE-ish token counts                      [pure Column exprs]
-  2. filter     quality gate (length / alpha-ratio / stopword floor)
-  3. exact      drop exact duplicates (digest groupBy, first doc_id wins)
-  4. neardup    MinHash-LSH candidate pairs -> connected survivors dropped
-                (smallest doc_id per duplicate component is kept)
-  5. corpus     final clean corpus + per-language token budget report
+  3. filter     quality gate (length / alpha-ratio / stopword floor)
+  4. exact      drop exact duplicates (digest groupBy, first doc_id wins)
+  5. neardup    MinHash-LSH verified pairs -> connected components ->
+                keep the LONGEST doc per near-dup cluster (dedup_resolve)
+  6. corpus     final clean corpus + per-language token budget report
 
 At 100 TB every stage is shuffle-bounded: features/filter are map-only,
-exact dedup shuffles once on the digest, near-dup shuffles on LSH band
-buckets (never all-pairs), and the final report is a small agg.
+line dedup's frequency agg combines map-side and reassembly shuffles on
+doc_id, exact dedup shuffles once on the digest, near-dup shuffles on
+LSH band buckets (never all-pairs) plus O(log n) CC rounds, and the
+final report is a small agg.
 """
 
 from __future__ import annotations
@@ -40,7 +45,20 @@ def run(spark, sf_dir: str, workdir: str,
         min_tokens: int = 5, min_alpha_ratio: float = 0.5) -> dict:
     store = SnapshotStore(os.path.join(workdir, "snapshots"))
     audit_dir = os.path.join(workdir, "audit")
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def stage_lines():
+        # corpus-level boilerplate strip: substitute each doc's text with
+        # its line-deduplicated form; docs reduced to nothing are dropped
+        ld = dedup.line_dedup(raw, min_count=3)
+        df = (raw.join(ld, "doc_id")
+              .where(F.col("n_kept") > 0)
+              .withColumn("text", F.col("text_clean"))
+              .drop("n_lines", "n_kept", "text_clean"))
+        append_audit(partition_metrics(df, "lines"), audit_dir)
+        return df
+
+    docs = store.resume_or_compute(spark, "lines", stage_lines)
 
     def stage_features():
         df = textstats.quality_features(docs)
@@ -69,15 +87,13 @@ def run(spark, sf_dir: str, workdir: str,
     uniq = store.resume_or_compute(spark, "exact", stage_exact)
 
     def stage_neardup():
-        # LSH bounds candidate generation; exact Jaccard verification on
-        # candidates only prevents template-collision false drops.
-        pairs = dedup.verified_near_dup_pairs(uniq, threshold=0.8)
-        # duplicate components without iterative connected-components:
-        # verified pair (a < b) -> drop b, keep the smallest id of each
-        # cluster (star-shaped CC approximation; an iterative CC pass is
-        # the escalation path at high dup density).
-        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-        df = uniq.join(losers, "doc_id", "left_anti")
+        # LSH bounds candidate generation, exact Jaccard verification
+        # prevents template-collision false drops, connected components
+        # (O(log n) rounds) close transitive chains, and the LONGEST doc
+        # of each cluster survives (keep-best, not keep-arbitrary).
+        resolved = dedup.dedup_resolve(uniq, threshold=0.8)
+        df = uniq.join(resolved.where(F.col("is_kept")).select("doc_id"),
+                       "doc_id", "left_semi")
         append_audit(partition_metrics(df, "neardup"), audit_dir)
         return df
 
@@ -92,6 +108,7 @@ def run(spark, sf_dir: str, workdir: str,
     report = store.resume_or_compute(spark, "corpus", stage_corpus)
 
     return {
+        "raw_input": raw.count(),
         "input": docs.count(),
         "kept": kept.count(),
         "unique": uniq.count(),

@@ -26,9 +26,10 @@ def test_corpus_pipeline_runs_and_resumes(spark, tmp_path):
 
     wd = str(tmp_path / "run")
     stats = corpus_pipeline.run(spark, SF, wd)
-    assert stats["clean"] <= stats["unique"] <= stats["kept"] <= stats["input"]
+    assert (stats["clean"] <= stats["unique"] <= stats["kept"]
+            <= stats["input"] <= stats["raw_input"])
     assert stats["clean"] > 0 and stats["langs"] > 0
-    assert stats["audit_rows"] >= 4  # one per audited stage
+    assert stats["audit_rows"] >= 5  # one per audited stage
 
     # resume: identical stats, replayed from snapshots (no recompute)
     again = corpus_pipeline.run(spark, SF, wd)
