@@ -19,6 +19,8 @@ broadcast join; typically 1-2 rounds with a sane initial radius).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -85,7 +87,8 @@ def radius_join(queries: DataFrame, data: DataFrame, radius_rad: float,
 
 
 def knn_join(queries: DataFrame, data: DataFrame, k: int,
-             initial_radius_rad: float = 0.0025, max_rounds: int = 6,
+             initial_radius_rad: float = 0.0025,
+             max_rounds: int | None = None,
              query_key: str = "query_id", data_key: str = "data_id") -> DataFrame:
     """k nearest data points per query.
 
@@ -93,7 +96,21 @@ def knn_join(queries: DataFrame, data: DataFrame, k: int,
     neighbor is within r; queries with < k matches retry at 2r.  Each round
     is one bucket join; rows found in earlier rounds are final (a correct
     k-NN at radius r stays correct at 2r).
+
+    COMPLETENESS: by default the doubling runs until the radius reaches pi
+    (the all-pairs planetary regime), so every query returns min(k, |data|)
+    rows no matter how far its k-th neighbor is — rounds are
+    ceil(log2(pi / initial_radius)) + 1 worst-case, but the loop exits as
+    soon as every query is satisfied (dense data: 2-4 rounds).  A former
+    fixed 6-round default silently returned < k rows for queries whose
+    k-th neighbor sat beyond initial_radius * 32 (caught by the
+    operator-fuzz suite's brute-force oracle).  Pass `max_rounds` to bound
+    the rounds explicitly; queries still short of k then return partial
+    lists, exactly as when data itself has fewer than k points.
     """
+    if max_rounds is None:
+        max_rounds = max(1, math.ceil(math.log2(
+            math.pi / max(initial_radius_rad, 1e-12))) + 1)
     # Round-to-round state stays DISTRIBUTED: the "done" set is a DataFrame
     # (queries whose max rank reached k), removed from `remaining` by a
     # broadcast anti-join — no collect() of per-query state on the driver,
