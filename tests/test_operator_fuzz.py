@@ -184,3 +184,158 @@ def test_radius_join_random_radii_matches_bruteforce(spark):
                 * np.sin((lng_r - lng_r[qi]) / 2) ** 2))
             expect |= {(qi, int(j)) for j in np.nonzero(d <= radius)[0]}
         assert got_pairs == expect, f"radius {radius}"
+
+
+def _arc_dist(p: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Geodesic distance from unit points p (N,3) to the minor arc a->b —
+    independent numpy oracle (S2EdgeUtil GetDistance construction: interior
+    projection iff det(p,n,a) > 0 and det(p,b,n) > 0 with n = a x b)."""
+    n = np.cross(a, b)
+    nn = n / np.linalg.norm(n)
+    s1 = np.cross(p, n) @ a
+    s2 = np.cross(p, b) @ n
+    interior = (s1 > 0) & (s2 > 0)
+    d_gc = np.arcsin(np.clip(np.abs(p @ nn), 0.0, 1.0))
+    da = np.arctan2(np.linalg.norm(np.cross(p, a), axis=1), p @ a)
+    db = np.arctan2(np.linalg.norm(np.cross(p, b), axis=1), p @ b)
+    return np.where(interior, d_gc, np.minimum(da, db))
+
+
+def test_arc_dist_oracle_self_check():
+    """Validate the fuzz oracle itself against dense slerp sampling of
+    random arcs (no engine code on either side)."""
+    rng = np.random.default_rng(5)
+
+    def unit(v):
+        return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+    for _ in range(40):
+        a, b = unit(rng.normal(size=3)), unit(rng.normal(size=3))
+        ang = float(np.arctan2(np.linalg.norm(np.cross(a, b)), a @ b))
+        if ang < 0.05 or ang > 3.0:
+            continue
+        t = np.linspace(0, 1, 4001)[:, None]
+        samples = unit((np.sin((1 - t) * ang) * a + np.sin(t * ang) * b)
+                       / np.sin(ang))
+        p = unit(rng.normal(size=(50, 3)))
+        approx = np.arccos(np.clip(p @ samples.T, -1, 1)).min(axis=1)
+        exact = _arc_dist(p, a, b)
+        assert np.all(exact <= approx + 1e-12)
+        assert np.all(approx - exact <= (ang / 4000) + 1e-9)
+
+
+def _fuzz_points(rng, centers, n_uniform=600, n_near=150, spread=18.0):
+    lats = [rng.uniform(-80, 80, n_uniform)]
+    lngs = [rng.uniform(-179, 179, n_uniform)]
+    for lat0, lng0 in centers:
+        lats.append(np.clip(lat0 + rng.uniform(-spread, spread, n_near),
+                            -89.9, 89.9))
+        lngs.append(((lng0 + rng.uniform(-spread, spread, n_near)
+                      / max(np.cos(np.radians(lat0)), 0.2) + 180)
+                     % 360) - 180)
+    return np.concatenate(lats), np.concatenate(lngs)
+
+
+def test_buffered_join_random_polygons_and_radii(spark):
+    """buffered_polygon_join (covering -> Expand(radius) -> broadcast join
+    -> exact residual) vs the independent oracle: 0 inside (determinant
+    signs), else min arc distance over boundary edges.  Radii span the
+    level-29 bucket regime up to a sizeable fraction of the sphere."""
+    from s2spark.operators.distance_ops import buffered_polygon_join
+
+    rng = np.random.default_rng(314159)
+    polys, vert_xyz, centers = {}, {}, []
+    for pid in range(1, 6):
+        s, lat0, lng0, _r = _random_convex_vertex_string(rng)
+        polys[pid] = make_polygon(s + ";")
+        vert_xyz[pid] = parse_vertices(s)
+        centers.append((lat0, lng0))
+    lat, lng = _fuzz_points(rng, centers)
+    pdf = pd.DataFrame({"doc_id": np.arange(len(lat)),
+                        "lat": lat, "lng": lng})
+    pts = C.with_cell_id(spark.createDataFrame(pdf), "lat", "lng")
+
+    x, y, z = ci.xyz_from_latlng_deg(lat, lng)
+    xyz_pts = np.stack([x, y, z], axis=1)
+
+    for radius in (0.02, 0.3, 1.0):
+        got = (buffered_polygon_join(spark, pts, polys, radius)
+               .select("doc_id", "polygon_id").toPandas())
+        got_pairs = set(map(tuple, got.itertuples(index=False)))
+        checked = 0
+        for pid, vx in vert_xyz.items():
+            inside, near_edge = _inside_convex(xyz_pts, vx)
+            d = np.min(np.stack(
+                [_arc_dist(xyz_pts, vx[i], vx[(i + 1) % len(vx)])
+                 for i in range(len(vx))]), axis=0)
+            d = np.where(inside, 0.0, d)
+            grade = ~near_edge & (np.abs(d - radius) > 1e-6)
+            for i in np.nonzero(grade)[0]:
+                assert ((int(i), pid) in got_pairs) == bool(d[i] <= radius), \
+                    f"radius {radius} polygon {pid} point {i}: d={d[i]:.9f}"
+            checked += int(grade.sum())
+        assert checked > 5000
+
+
+def test_corridor_and_nearest_track_random_fuzz(spark):
+    """corridor_join and nearest_track_join vs the arc-distance oracle
+    over random-walk polylines: membership at each radius, and the argmin
+    track assignment with the engine's 1e-9 rounded tie-break."""
+    from s2spark.operators.distance_ops import (corridor_join,
+                                                nearest_track_join)
+
+    rng = np.random.default_rng(2718)
+    tracks, seg_xyz, centers = {}, {}, []
+    for tid in range(1, 4):
+        lat0 = float(rng.uniform(-55, 55))
+        lng0 = float(rng.uniform(-150, 150))
+        n = int(rng.integers(3, 7))
+        dlat = np.cumsum(rng.uniform(-4, 4, n))
+        dlng = np.cumsum(rng.uniform(2, 6, n))
+        vlat = np.clip(lat0 + dlat, -85, 85)
+        vlng = ((lng0 + dlng + 180) % 360) - 180
+        tracks[tid] = list(zip(vlat.tolist(), vlng.tolist()))
+        xs, ys, zs = ci.xyz_from_latlng_deg(vlat, vlng)
+        seg_xyz[tid] = np.stack([xs, ys, zs], axis=1)
+        centers.append((lat0, lng0))
+    lat, lng = _fuzz_points(rng, centers, n_uniform=500, n_near=200,
+                            spread=10.0)
+    pdf = pd.DataFrame({"doc_id": np.arange(len(lat)),
+                        "lat": lat, "lng": lng})
+    pts = C.with_cell_id(spark.createDataFrame(pdf), "lat", "lng")
+
+    x, y, z = ci.xyz_from_latlng_deg(lat, lng)
+    xyz_pts = np.stack([x, y, z], axis=1)
+    dists = {}
+    for tid, vx in seg_xyz.items():
+        dists[tid] = np.min(np.stack(
+            [_arc_dist(xyz_pts, vx[i], vx[i + 1])
+             for i in range(len(vx) - 1)]), axis=0)
+
+    for radius in (0.05, 0.5):
+        got = (corridor_join(spark, pts, tracks, radius)
+               .select("doc_id", "track_id").toPandas())
+        got_pairs = set(map(tuple, got.itertuples(index=False)))
+        checked = 0
+        for tid, d in dists.items():
+            grade = np.abs(d - radius) > 1e-6
+            for i in np.nonzero(grade)[0]:
+                assert ((int(i), tid) in got_pairs) == bool(d[i] <= radius), \
+                    f"radius {radius} track {tid} point {i}: d={d[i]:.9f}"
+            checked += int(grade.sum())
+        assert checked > 2000
+
+        nt = (nearest_track_join(spark, pts, tracks, radius)
+              .select("doc_id", "track_id").toPandas())
+        nt_map = dict(map(tuple, nt.itertuples(index=False)))
+        dmat = np.stack([dists[tid] for tid in sorted(dists)], axis=1)
+        rounded = np.round(dmat, 9)
+        best = rounded.min(axis=1)
+        runner = np.partition(rounded, 1, axis=1)[:, 1]
+        for i in range(len(lat)):
+            if best[i] > radius + 1e-6:
+                assert i not in nt_map, f"point {i} beyond every corridor"
+            elif best[i] <= radius - 1e-6 and runner[i] - best[i] > 1e-8:
+                want = sorted(dists)[int(np.argmin(rounded[i]))]
+                assert nt_map.get(i) == want, \
+                    f"point {i}: want track {want}, got {nt_map.get(i)}"
