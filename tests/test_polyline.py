@@ -174,3 +174,94 @@ def test_interpolate_sql_matches_kernel():
         exp_lng = math.degrees(math.atan2(y, x))
         assert abs(got_lat - exp_lat) < 1e-9, frac
         assert abs(got_lng - exp_lng) < 1e-9, frac
+
+
+def test_project_random_polylines_vs_independent_arc_oracle():
+    """Randomized projection fuzz: project_points' distances must equal
+    the test-suite's independent arc-distance oracle (validated against
+    dense slerp sampling in test_operator_fuzz), the projected point must
+    lie on the reported edge, and its distance to the query must equal
+    the reported minimum."""
+    import numpy as np
+    from test_operator_fuzz import _arc_dist
+
+    from s2spark.kernel import cellid as ci
+    from s2spark.kernel.polyline import Polyline
+
+    rng = np.random.default_rng(31337)
+    for trial in range(10):
+        n = int(rng.integers(2, 8))
+        lat0 = float(rng.uniform(-60, 60))
+        lng0 = float(rng.uniform(-150, 150))
+        vlat = np.clip(lat0 + np.cumsum(rng.uniform(-6, 6, n)), -85, 85)
+        vlng = ((lng0 + np.cumsum(rng.uniform(2, 8, n)) + 180) % 360) - 180
+        xs, ys, zs = ci.xyz_from_latlng_deg(vlat, vlng)
+        verts = np.stack([xs, ys, zs], axis=1)
+        pl = Polyline(verts)
+
+        plat = np.clip(lat0 + rng.uniform(-30, 30, 120), -89, 89)
+        plng = ((lng0 + rng.uniform(-30, 30, 120) + 180) % 360) - 180
+        px, py, pz = ci.xyz_from_latlng_deg(plat, plng)
+        pts = np.stack([px, py, pz], axis=1)
+
+        idx, qx, qy, qz, dist = pl.project_points(px, py, pz)
+
+        expect = np.min(np.stack(
+            [_arc_dist(pts, verts[i], verts[i + 1])
+             for i in range(n - 1)]), axis=0)
+        assert np.allclose(dist, expect, atol=1e-12), f"trial {trial}"
+
+        q = np.stack([qx, qy, qz], axis=1)
+        # projected point sits ON its edge (distance ~0 to that edge)
+        for j in range(len(pts)):
+            a, b = verts[idx[j]], verts[idx[j] + 1]
+            on_edge = _arc_dist(q[j:j + 1], a, b)[0]
+            assert on_edge < 1e-9, f"trial {trial} point {j}"
+        # and the reported distance IS the query-to-projection angle
+        ang = np.arctan2(np.linalg.norm(np.cross(pts, q), axis=1),
+                         np.sum(pts * q, axis=1))
+        assert np.allclose(ang, dist, atol=1e-9), f"trial {trial}"
+
+
+def test_interpolate_random_fractions_arc_length_consistent():
+    """interpolate(f)'s point splits the polyline's arc length at exactly
+    f * total: the length accumulated along edges up to the projected
+    position equals the target (independent accumulation, no kernel
+    length reuse)."""
+    import math
+
+    import numpy as np
+
+    from s2spark.kernel import cellid as ci
+    from s2spark.kernel.polyline import Polyline
+
+    rng = np.random.default_rng(90210)
+    for trial in range(8):
+        n = int(rng.integers(3, 7))
+        vlat = np.clip(np.cumsum(rng.uniform(-8, 8, n)), -80, 80)
+        vlng = ((np.cumsum(rng.uniform(3, 9, n)) + 180) % 360) - 180
+        xs, ys, zs = ci.xyz_from_latlng_deg(vlat, vlng)
+        verts = np.stack([xs, ys, zs], axis=1)
+        pl = Polyline(verts)
+
+        def ang(u, v):
+            return math.atan2(float(np.linalg.norm(np.cross(u, v))),
+                              float(np.dot(u, v)))
+
+        seg = [ang(verts[i], verts[i + 1]) for i in range(n - 1)]
+        total = sum(seg)
+        for f in rng.uniform(0.05, 0.95, 12):
+            p = np.array(pl.interpolate(float(f)))
+            # locate p's edge: the one whose endpoints bracket it
+            walked = 0.0
+            placed = False
+            for i in range(n - 1):
+                da = ang(verts[i], p)
+                db = ang(p, verts[i + 1])
+                if abs(da + db - seg[i]) < 1e-9:   # p lies on edge i
+                    walked += da
+                    placed = True
+                    break
+                walked += seg[i]
+            assert placed, f"trial {trial} f={f}"
+            assert abs(walked - f * total) < 1e-9, f"trial {trial} f={f}"
