@@ -812,7 +812,9 @@ def _q_sim_recall(spark, sf_dir):
     """ANN retrieval-quality gate: per-query recall@5 of both approximate
     indexes (SRP-LSH multiprobe, IVF-flat) against the exact brute-force
     top-k, in one annotated result."""
-    truth = _q_sim_bruteforce(spark, sf_dir)
+    # truth feeds four consumers (n_true + hit join, x2 methods):
+    # materialize the exact crossJoin top-k ONCE instead of re-running it
+    truth = _q_sim_bruteforce(spark, sf_dir).localCheckpoint()
     ivf = similarity.recall_at_k(truth, _q_sim_ivf(spark, sf_dir)) \
         .withColumn("method", F.lit("ivf"))
     lsh = similarity.recall_at_k(truth, _q_sim_lsh(spark, sf_dir)) \
@@ -1153,8 +1155,8 @@ WITH docs2 AS (SELECT doc_id,
 sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs2),
 l0 AS (SELECT doc_id, unnest(ls) AS raw,
        generate_subscripts(ls, 1) AS idx FROM sp),
-lines AS (SELECT doc_id, idx, trim(raw) AS line FROM l0
-          WHERE length(trim(raw)) > 0),
+lines AS (SELECT doc_id, idx, regexp_replace(raw, '^\\s+|\\s+$', '', 'g') AS line FROM l0
+          WHERE length(regexp_replace(raw, '^\\s+|\\s+$', '', 'g')) > 0),
 banned AS (SELECT line FROM lines GROUP BY line
            HAVING count(*) >= {min_count}),
 kept AS (SELECT * FROM lines

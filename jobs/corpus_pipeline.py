@@ -8,13 +8,15 @@ LLM training-data preparation flow, every stage a pure DataFrame plan,
 snapshot-checkpointed so a restarted job replays completed stages, and
 audited with per-partition lineage rows.
 
-  1. lines      C4-style corpus line dedup (boilerplate removal): lines
+  1. exact      drop exact duplicates (digest groupBy, first doc_id wins)
+                — BEFORE line dedup, so a verbatim-repeated document
+                collapses to one copy instead of banning its own lines
+  2. lines      C4-style corpus line dedup (boilerplate removal): lines
                 occurring >= 3x corpus-wide are stripped from every doc;
                 docs with no surviving line are dropped
-  2. features   documents -> quality features + predicted language +
+  3. features   documents -> quality features + predicted language +
                 BPE-ish token counts                      [pure Column exprs]
-  3. filter     quality gate (length / alpha-ratio / stopword floor)
-  4. exact      drop exact duplicates (digest groupBy, first doc_id wins)
+  4. filter     quality gate (length / alpha-ratio / stopword floor)
   5. neardup    MinHash-LSH verified pairs -> connected components ->
                 keep the LONGEST doc per near-dup cluster (dedup_resolve)
   6. corpus     final clean corpus + per-language token budget report
@@ -47,11 +49,25 @@ def run(spark, sf_dir: str, workdir: str,
     audit_dir = os.path.join(workdir, "audit")
     raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
+    def stage_exact():
+        # exact dedup FIRST: a short document repeated verbatim >= 3x
+        # would otherwise push its own body lines over line_dedup's
+        # min_count and lose EVERY copy; collapsing verbatim duplicates
+        # to one representative first means the line stage only ever
+        # targets true cross-document boilerplate.
+        keepers = dedup.exact_dedup(raw).select(
+            F.col("keep_id").alias("doc_id"))
+        df = raw.join(keepers, "doc_id", "left_semi")
+        append_audit(partition_metrics(df, "exact"), audit_dir)
+        return df
+
+    uniq = store.resume_or_compute(spark, "exact", stage_exact)
+
     def stage_lines():
         # corpus-level boilerplate strip: substitute each doc's text with
         # its line-deduplicated form; docs reduced to nothing are dropped
-        ld = dedup.line_dedup(raw, min_count=3)
-        df = (raw.join(ld, "doc_id")
+        ld = dedup.line_dedup(uniq, min_count=3)
+        df = (uniq.join(ld, "doc_id")
               .where(F.col("n_kept") > 0)
               .withColumn("text", F.col("text_clean"))
               .drop("n_lines", "n_kept", "text_clean"))
@@ -77,22 +93,13 @@ def run(spark, sf_dir: str, workdir: str,
 
     kept = store.resume_or_compute(spark, "filter", stage_filter)
 
-    def stage_exact():
-        keepers = dedup.exact_dedup(kept).select(
-            F.col("keep_id").alias("doc_id"))
-        df = kept.join(keepers, "doc_id", "left_semi")
-        append_audit(partition_metrics(df, "exact"), audit_dir)
-        return df
-
-    uniq = store.resume_or_compute(spark, "exact", stage_exact)
-
     def stage_neardup():
         # LSH bounds candidate generation, exact Jaccard verification
         # prevents template-collision false drops, connected components
         # (O(log n) rounds) close transitive chains, and the LONGEST doc
         # of each cluster survives (keep-best, not keep-arbitrary).
-        resolved = dedup.dedup_resolve(uniq, threshold=0.8)
-        df = uniq.join(resolved.where(F.col("is_kept")).select("doc_id"),
+        resolved = dedup.dedup_resolve(kept, threshold=0.8)
+        df = kept.join(resolved.where(F.col("is_kept")).select("doc_id"),
                        "doc_id", "left_semi")
         append_audit(partition_metrics(df, "neardup"), audit_dir)
         return df
@@ -109,9 +116,9 @@ def run(spark, sf_dir: str, workdir: str,
 
     return {
         "raw_input": raw.count(),
+        "unique": uniq.count(),
         "input": docs.count(),
         "kept": kept.count(),
-        "unique": uniq.count(),
         "clean": clean.count(),
         "langs": report.count(),
         "audit_rows": spark.read.parquet(audit_dir).count(),

@@ -376,6 +376,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     remains for the ones that aren't.  Pass driver_threshold=0 to force
     the distributed loop.
     """
+    # node ids must be integral: the star rounds and the driver union-find
+    # both key on longs, and casting a non-numeric id would silently turn
+    # every edge into (NULL, NULL) -> everything a singleton.  Fail loudly.
+    dtypes = dict(pairs.dtypes)
+    for col in (id_a, id_b):
+        if dtypes.get(col) not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"connected_components needs integral node ids; {col!r} is "
+                f"{dtypes.get(col)} — map keys to longs (e.g. a dimension "
+                f"table with monotonically_increasing_id) before clustering")
     pairs = (pairs.select(F.col(id_a).cast("long").alias(id_a),
                           F.col(id_b).cast("long").alias(id_b))
              .where(F.col(id_a).isNotNull() & F.col(id_b).isNotNull()))
@@ -612,13 +622,14 @@ def dedup_resolve(documents: DataFrame, text_col: str = "text",
     scored = clusters.join(
         documents.select(F.col(key_col),
                          F.length(text_col).alias("__len")), key_col)
-    # argmax(len, then min id) as a plain max over (len, -id): partial
+    # argmax(len, then min id) as a plain min over (-len, id): partial
     # aggregation applies, unlike a row_number window which must co-sort
-    # every cluster's rows in one partition.
+    # every cluster's rows in one partition.  Negating the LENGTH (always
+    # numeric) instead of the key keeps string/any-orderable keys working.
     best = (scored.groupBy("cluster_id")
-            .agg(F.max(F.struct(F.col("__len").alias("len"),
-                                (-F.col(key_col)).alias("neg_id"))).alias("b"))
-            .select("cluster_id", (-F.col("b.neg_id")).alias("kept_doc_id")))
+            .agg(F.min(F.struct((-F.col("__len")).alias("neg_len"),
+                                F.col(key_col).alias("k"))).alias("b"))
+            .select("cluster_id", F.col("b.k").alias("kept_doc_id")))
     return (scored.join(best, "cluster_id")
             .select(key_col, "cluster_id", "kept_doc_id",
                     (F.col(key_col) == F.col("kept_doc_id")).alias("is_kept")))
@@ -643,13 +654,25 @@ def line_dedup(documents: DataFrame, text_col: str = "text",
     lines and joins back as a left_anti keyed on the line — AQE picks a
     broadcast when it fits and splits skewed probe partitions when it
     does not.  Reassembly shuffles once keyed on doc_id (never skewed:
-    a doc's lines are bounded by the doc itself).
+    a doc's lines are bounded by the doc itself).  The exploded `lines`
+    subtree feeds three consumers (frequency agg, anti-join probe,
+    per-doc sizes), so the corpus scan + split runs three times — a
+    deliberate trade: the exploded relation is LARGER than its source,
+    so re-running the whole-stage-codegen scan+split beats materializing
+    it; callers with cheap storage can `.localCheckpoint()` `documents`
+    once upstream instead.
+
+    Trimming uses the full whitespace class (regexp), not trim()'s
+    space-only semantics: tab-indented or CR-terminated copies of a
+    boilerplate line must unify to one banned form, and a "\\t" line is
+    whitespace-only and removed.
     """
+    ws_trim = lambda c: F.regexp_replace(c, r"^\s+|\s+$", "")  # noqa: E731
     lines = (documents
              .select(F.col(key_col),
                      F.posexplode(F.split(F.col(text_col), "\n"))
                      .alias("idx", "line"))
-             .withColumn("line", F.trim("line"))
+             .withColumn("line", ws_trim(F.col("line")))
              .where(F.length("line") > 0))
     banned = (lines.groupBy("line")
               .agg(F.count(F.lit(1)).alias("__n"))

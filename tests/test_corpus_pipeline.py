@@ -26,8 +26,8 @@ def test_corpus_pipeline_runs_and_resumes(spark, tmp_path):
 
     wd = str(tmp_path / "run")
     stats = corpus_pipeline.run(spark, SF, wd)
-    assert (stats["clean"] <= stats["unique"] <= stats["kept"]
-            <= stats["input"] <= stats["raw_input"])
+    assert (stats["clean"] <= stats["kept"] <= stats["input"]
+            <= stats["unique"] <= stats["raw_input"])
     assert stats["clean"] > 0 and stats["langs"] > 0
     assert stats["audit_rows"] >= 5  # one per audited stage
 
@@ -206,3 +206,71 @@ def test_dedup_resolve_random_invariants(spark):
         assert k["doc_id"] == min(m["doc_id"] for m in members
                                   if lens[m["doc_id"]] == max_len)
         assert all(m["kept_doc_id"] == k["doc_id"] for m in members)
+
+
+def test_pipeline_keeps_one_copy_of_verbatim_repeated_docs(spark, tmp_path):
+    """Review regression: a short doc repeated verbatim >= 3x must survive
+    the pipeline as ONE copy — exact dedup runs before line dedup, so the
+    repeats never push their own body lines over the line-ban count."""
+    import corpus_pipeline
+    import pandas as pd
+
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    uniq = [f"unique document number {i} with plenty of ordinary words here"
+            for i in range(8)]
+    pdf = pd.DataFrame({
+        "doc_id": range(13),
+        "text": [body] * 5 + uniq,
+        "lang": ["en"] * 13,
+        "source": ["t"] * 13,
+        "n_chars": [len(body)] * 5 + [len(u) for u in uniq],
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(sf / "documents.parquet"))
+
+    stats = corpus_pipeline.run(spark, str(sf), str(tmp_path / "run"))
+    assert stats["raw_input"] == 13
+    assert stats["unique"] == 9          # 5 copies -> 1
+    assert stats["input"] == 9           # line stage drops nothing here
+    assert stats["clean"] >= 1           # the body survives as one doc
+
+
+def test_line_dedup_trims_full_whitespace_class(spark):
+    """Tab-indented / CR-terminated copies of a boilerplate line unify to
+    one banned form, and a whitespace-only (tab) line is removed."""
+    from s2spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame([
+        (1, "keep me\nFOOTER\t\r"),
+        (2, "\tFOOTER\nother"),
+        (3, "  FOOTER  \n\t\nlast"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in line_dedup(docs, min_count=3).collect()}
+    assert out[1] == {"doc_id": 1, "n_lines": 2, "n_kept": 1,
+                      "text_clean": "keep me"}
+    assert out[2]["text_clean"] == "other"
+    # doc 3: the "\t" line is whitespace-only -> removed outright
+    assert out[3] == {"doc_id": 3, "n_lines": 2, "n_kept": 1,
+                      "text_clean": "last"}
+
+
+def test_dedup_cluster_family_rejects_string_keys(spark):
+    """Review regression: clustering keys must be integral — a string key
+    used to be silently cast to NULL (every edge dropped, everything a
+    singleton, no error).  Now the CC boundary fails loudly with a
+    remediation hint; the resolve argmax itself is key-type-agnostic
+    (min(struct(-len, key)), never a negated key)."""
+    import pytest as _pytest
+
+    from s2spark.operators.dedup import connected_components, dedup_resolve
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    docs = spark.createDataFrame(
+        [("a", base + " t"), ("b", base + " tt")], "url string, text string")
+    with _pytest.raises(TypeError, match="integral node ids"):
+        dedup_resolve(docs, key_col="url", threshold=0.5).collect()
+    pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    with _pytest.raises(TypeError, match="integral node ids"):
+        connected_components(pairs)
