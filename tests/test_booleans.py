@@ -255,3 +255,50 @@ def test_boolean_point_set_laws_fuzz_with_holes():
             f"trial {trial}: reverse-difference law (B minus holed A)"
     assert holed_trials >= 10, \
         f"only {holed_trials} holed trials ran — fixture generator drifted"
+
+
+def test_destructive_union_nway_point_set_law_fuzz():
+    """n-way union fuzz: destructive_union of k random cap polygons must
+    equal the point-set OR of the operands' memberships — sampled on each
+    operand's boundary band plus a global sample.  Overlap is forced in
+    half the trials (operands drawn near a shared center), so the
+    smallest-first merge queue exercises real loop merging, not just
+    multi-loop concatenation of disjoint shells."""
+    rng = np.random.default_rng(424242)
+    for trial in range(6):
+        k = int(rng.integers(3, 6))
+        if trial % 2 == 0:       # clustered: operands overlap heavily
+            base = rng.normal(size=3)
+            base /= np.linalg.norm(base)
+            ops = []
+            for _ in range(k):
+                c = base + rng.normal(scale=0.15, size=3)
+                c /= np.linalg.norm(c)
+                ops.append(_cap_polygon_at(rng, c, int(rng.integers(3, 10)),
+                                           max_radius_deg=15.0))
+        else:                    # scattered: mostly disjoint shells
+            ops = [_random_cap_polygon(rng, int(rng.integers(3, 10)),
+                                       max_radius_deg=12.0)
+                   for _ in range(k)]
+
+        pts = []
+        for _, c, r in ops:
+            d = rng.normal(size=(2500, 3))
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+            t = r * rng.uniform(0.0, 2.5, 2500)
+            p = (np.cos(t)[:, None] * c[None, :]
+                 + np.sin(t)[:, None] * np.cross(c, d))
+            p /= np.linalg.norm(p, axis=1, keepdims=True)
+            pts.append(p)
+        g = rng.normal(size=(1500, 3))
+        pts.append(g / np.linalg.norm(g, axis=1, keepdims=True))
+        P = np.concatenate(pts)
+        x, y, z = P[:, 0], P[:, 1], P[:, 2]
+
+        expect = np.zeros(len(P), dtype=bool)
+        for poly, _, _ in ops:
+            expect |= poly.contains_points(x, y, z)
+
+        U = booleans.destructive_union([poly for poly, _, _ in ops])
+        assert np.array_equal(U.contains_points(x, y, z), expect), \
+            f"trial {trial} (k={k})"
