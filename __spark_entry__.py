@@ -174,13 +174,20 @@ def _q_containment_ranges(spark, sf_dir):
     predicate-pushdown substitution through the encode projections.
     """
     from s2spark.kernel.coverer import RegionCoverer
+    from s2spark.plans.covercache import cached_rows
     cov_rows = []
     for pid, poly in _JOIN_POLYGONS.items():
-        for cid in RegionCoverer(max_cells=8).get_covering(poly):
-            arr = np.array([cid], dtype=np.uint64)
-            cov_rows.append((pid,
-                             int(ci.to_signed(arr)[0]),
-                             int(ci.level_of(arr)[0])))
+        def compute(poly=poly):
+            out = []
+            for cid in RegionCoverer(max_cells=8).get_covering(poly):
+                arr = np.array([cid], dtype=np.uint64)
+                out.append((int(ci.to_signed(arr)[0]),
+                            int(ci.level_of(arr)[0])))
+            return out
+        key = ("plain-cover",
+               tuple(lp.vertices.tobytes().hex() for lp in poly.loops), 8)
+        cov_rows.extend((pid, cell, lvl)
+                        for cell, lvl in cached_rows(key, compute))
     cov = spark.createDataFrame(cov_rows, "polygon_id int, cov_cell long, cov_level int")
     levels = sorted({r[2] for r in cov_rows})
     pts = C.with_cell_id(_docs_geo(spark, sf_dir), "lat", "lng")

@@ -24,17 +24,33 @@ from ..kernel.coverer import RegionCoverer
 
 def cap_coverings(caps: dict[int, tuple[float, float, float]],
                   max_cells: int = 32) -> pd.DataFrame:
-    """caps: id -> (lat_deg, lng_deg, radius_rad)."""
+    """caps: id -> (lat_deg, lng_deg, radius_rad).
+
+    Cached per cap (memo + disk, plans.covercache): pure function of
+    (cap, max_cells) — don't repay the coverer on every construction."""
+    from ..plans.covercache import cached_rows
     rows = []
     cov = RegionCoverer(max_cells=max_cells)
-    for cid, (lat, lng, radius) in caps.items():
-        phi, theta = math.radians(lat), math.radians(lng)
-        axis = (math.cos(phi) * math.cos(theta),
-                math.cos(phi) * math.sin(theta), math.sin(phi))
-        cap = Cap.from_axis_angle(axis, radius)
-        for cell in cov.get_covering(cap):
-            arr = np.array([cell], dtype=np.uint64)
-            rows.append((cid, int(ci.to_signed(arr)[0]), int(ci.level_of(arr)[0])))
+
+    def one(spec):
+        lat, lng, radius = spec
+
+        def compute():
+            phi, theta = math.radians(lat), math.radians(lng)
+            axis = (math.cos(phi) * math.cos(theta),
+                    math.cos(phi) * math.sin(theta), math.sin(phi))
+            cap = Cap.from_axis_angle(axis, radius)
+            out = []
+            for cell in cov.get_covering(cap):
+                arr = np.array([cell], dtype=np.uint64)
+                out.append((int(ci.to_signed(arr)[0]),
+                            int(ci.level_of(arr)[0])))
+            return out
+        return cached_rows(("cap", tuple(map(float, spec)), max_cells),
+                           compute)
+
+    for cid, spec in caps.items():
+        rows.extend((cid, cell, lvl) for cell, lvl in one(spec))
     return pd.DataFrame(rows, columns=["cap_id", "cov_cell_id", "cov_level"])
 
 

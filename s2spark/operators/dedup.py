@@ -139,9 +139,16 @@ def minhash_candidate_pairs(documents: DataFrame, text_col: str = "text",
                             key_col: str = "doc_id", n: int = 5,
                             num_hashes: int = 16, bands: int = 4,
                             signatures: DataFrame | None = None) -> DataFrame:
-    """Candidate near-dup pairs = same bucket in >= 1 band (deduped)."""
+    """Candidate near-dup pairs = same bucket in >= 1 band (deduped).
+
+    The bucket table is localCheckpoint'ed (lazily — no job until the
+    caller's first action) because it feeds BOTH sides of the self-join:
+    without the checkpoint the planner broadcasts one side, the Exchange
+    is not shared, and the full signature md5 pass runs twice (measured
+    r6: the signature pass is ~40% of this operator's execution)."""
     b = minhash_lsh_buckets(documents, text_col, key_col, n, num_hashes,
-                            bands, signatures=signatures)
+                            bands, signatures=signatures) \
+        .localCheckpoint(eager=False)
     l = b.select(F.col("band"), F.col("bucket"), F.col(key_col).alias("id_a"))
     r = b.select(F.col("band"), F.col("bucket"), F.col(key_col).alias("id_b"))
     return (l.join(r, ["band", "bucket"])
@@ -184,7 +191,18 @@ def ngram_jaccard_pairs(documents: DataFrame, text_col: str = "text",
     hot shingle and exact otherwise.  With df_cap >= the corpus's true max
     df the output is bit-identical to the uncapped join.  df_cap=None
     disables the cap (exact, unsafe at scale)."""
-    ex = _exploded_shingles(documents, text_col, key_col, n)
+    # The exploded (key, shingle) relation feeds FIVE consumers (per-doc
+    # sizes, the df-cap frequency agg, the semi-join probe, and both
+    # self-join sides); unmaterialized, the scan + normalize +
+    # array_distinct + explode subtree ran once per consumer (6 Generate
+    # nodes in the r5 executed plan).  One lazy localCheckpoint
+    # materializes it on the first action and every consumer reads the
+    # stored blocks — the blocks die with the result (ContextCleaner),
+    # and at 100 TB this is the classic materialize-the-inverted-index
+    # step (the exploded relation is the smallest common ancestor of all
+    # five consumers).
+    ex = _exploded_shingles(documents, text_col, key_col, n) \
+        .localCheckpoint()
     sizes = ex.groupBy(key_col).agg(F.count(F.lit(1)).alias("sz"))
     exj = ex
     if df_cap is not None:
@@ -276,15 +294,26 @@ def build_corpus_index(corpus: DataFrame, text_col: str = "text",
     (band, bucket, corpus_id, corpus_sig).  At production scale this is a
     materialized artifact written `bucketBy(band, bucket)` so the per-batch
     probe join below runs without shuffling the corpus side."""
+    # ONE map-only pass: the signature array rides along through the band
+    # explode instead of being re-derived and equi-joined back on the key
+    # (the r5 shape ran the full signature md5 pass twice — once under the
+    # bucket explode, once under sig_arr — plus a join that exists only to
+    # reunite two projections of the same row).  Bit-identical output.
     sig = minhash_signatures(corpus, text_col, key_col, n, num_hashes)
-    buckets = minhash_lsh_buckets(corpus, text_col, key_col, n, num_hashes,
-                                  bands, signatures=sig)
-    sig_arr = sig.select(
-        key_col,
-        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("corpus_sig"))
-    return (buckets.join(sig_arr, key_col)
-            .select("band", "bucket", F.col(key_col).alias("corpus_id"),
-                    "corpus_sig"))
+    rows_per_band = num_hashes // bands
+    probes = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)]
+        probes.append(F.struct(F.lit(b).alias("band"),
+                               F.md5(F.concat_ws("_", *cols)).alias("bucket")))
+    return (sig
+            .withColumn("corpus_sig",
+                        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]))
+            .withColumn("p", F.explode(F.array(*probes)))
+            .select(F.col("p.band").alias("band"),
+                    F.col("p.bucket").alias("bucket"),
+                    F.col(key_col).alias("corpus_id"), "corpus_sig"))
 
 
 def filter_near_dups_of_corpus(new_docs: DataFrame, corpus_index: DataFrame,

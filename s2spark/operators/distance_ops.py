@@ -250,15 +250,22 @@ def buffered_polygon_join(spark, pts: DataFrame, polys: dict,
     from ..kernel import cellunion as cuk
     from ..kernel.coverer import RegionCoverer
 
+    from ..plans.covercache import cached_rows
     rows = []
     residual = None
     for pid, poly in polys.items():
-        cover = RegionCoverer(max_cells=coverer_max_cells).get_covering(poly)
-        buf = cuk.expand_radius(np.asarray(cover, dtype=np.uint64),
-                                radius_rad, max_level_diff)
-        levels = cik.level_of(buf)
-        for cell, lvl in zip(cik.to_signed(buf).tolist(), levels.tolist()):
-            rows.append((pid, int(cell), int(lvl)))
+        def compute(poly=poly):
+            cover = RegionCoverer(max_cells=coverer_max_cells).get_covering(poly)
+            buf = cuk.expand_radius(np.asarray(cover, dtype=np.uint64),
+                                    radius_rad, max_level_diff)
+            levels = cik.level_of(buf)
+            return [(int(c), int(lv)) for c, lv in
+                    zip(cik.to_signed(buf).tolist(), levels.tolist())]
+        key = ("buffered",
+               tuple(lp.vertices.tobytes().hex() for lp in poly.loops),
+               float(radius_rad), coverer_max_cells, max_level_diff)
+        rows.extend((pid, cell, lvl)
+                    for cell, lvl in cached_rows(key, compute))
         dist = F.expr(convex_polygon_distance_sql(poly))
         residual = (F.when(F.col("polygon_id") == pid, dist)
                     if residual is None
@@ -329,18 +336,24 @@ def corridor_join(spark, pts: DataFrame,
     from ..kernel.coverer import RegionCoverer
     from ..kernel.polyline import Polyline
 
+    from ..plans.covercache import cached_rows
     rows = []
     residual = None
     for tid, latlngs in tracks.items():
-        verts = np.array([_xyz(math.radians(la), math.radians(ln))
-                          for la, ln in latlngs], dtype=np.float64)
-        cover = RegionCoverer(max_cells=coverer_max_cells).get_covering(
-            Polyline(verts))
-        buf = cuk.expand_radius(np.asarray(cover, dtype=np.uint64),
-                                radius_rad, max_level_diff)
-        levels = cik.level_of(buf)
-        for cell, lvl in zip(cik.to_signed(buf).tolist(), levels.tolist()):
-            rows.append((tid, int(cell), int(lvl)))
+        def compute(latlngs=latlngs):
+            verts = np.array([_xyz(math.radians(la), math.radians(ln))
+                              for la, ln in latlngs], dtype=np.float64)
+            cover = RegionCoverer(max_cells=coverer_max_cells).get_covering(
+                Polyline(verts))
+            buf = cuk.expand_radius(np.asarray(cover, dtype=np.uint64),
+                                    radius_rad, max_level_diff)
+            levels = cik.level_of(buf)
+            return [(int(c), int(lv)) for c, lv in
+                    zip(cik.to_signed(buf).tolist(), levels.tolist())]
+        key = ("corridor", tuple((float(la), float(ln)) for la, ln in latlngs),
+               float(radius_rad), coverer_max_cells, max_level_diff)
+        rows.extend((tid, cell, lvl)
+                    for cell, lvl in cached_rows(key, compute))
         dist = F.expr(polyline_distance_sql(latlngs))
         residual = (F.when(F.col("track_id") == tid, dist)
                     if residual is None

@@ -26,14 +26,28 @@ from ..kernel.rect_region import RectRegion
 
 def rect_coverings(rects: dict[int, tuple[float, float, float, float]],
                    max_cells: int = 32) -> pd.DataFrame:
-    """rects: id -> (lat_lo, lng_lo, lat_hi, lng_hi) degrees."""
+    """rects: id -> (lat_lo, lng_lo, lat_hi, lng_hi) degrees.
+
+    Cached per rect (memo + disk): a covering is a pure function of
+    (rect, max_cells) — serial driver work the query shouldn't repay on
+    every construction (see plans.covercache)."""
+    from ..plans.covercache import cached_rows
     rows = []
     cov = RegionCoverer(max_cells=max_cells)
-    for rid, (lat_lo, lng_lo, lat_hi, lng_hi) in rects.items():
-        region = RectRegion.from_degrees(lat_lo, lng_lo, lat_hi, lng_hi)
-        for cid in cov.get_covering(region):
-            arr = np.array([cid], dtype=np.uint64)
-            rows.append((rid, int(ci.to_signed(arr)[0]), int(ci.level_of(arr)[0])))
+
+    def one(rect):
+        def compute():
+            region = RectRegion.from_degrees(*rect)
+            out = []
+            for cid in cov.get_covering(region):
+                arr = np.array([cid], dtype=np.uint64)
+                out.append((int(ci.to_signed(arr)[0]), int(ci.level_of(arr)[0])))
+            return out
+        return cached_rows(("rect", tuple(map(float, rect)), max_cells),
+                           compute)
+
+    for rid, rect in rects.items():
+        rows.extend((rid, cell, lvl) for cell, lvl in one(rect))
     return pd.DataFrame(rows, columns=["rect_id", "cov_cell_id", "cov_level"])
 
 

@@ -22,13 +22,50 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, v: acc + v)
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product of two array columns.
+
+    With `dim` passed, the sum is UNROLLED into flat element_at
+    arithmetic with the aggregate's exact FP fold order
+    (((0.0 + a1*b1) + a2*b2) + ...) — bit-identical results.  Measured
+    r6 tradeoff: over a materialized array column inside one
+    whole-stage-codegen stage the unrolled form executes ~1.5x faster
+    than the interpreted higher-order aggregate (codegen + CSE), but
+    each unrolled site adds ~0.5-1 s of one-time janino/JIT compile and,
+    in stages that fall back to interpreted projection (no CSE), the
+    64 element_at references re-evaluate a transform-produced input per
+    element — a 2-3x regression.  The driver bench runs every query
+    once at sf0.1, where compile time dominates, so the DEFAULT here is
+    the HOF form; pass `dim` only for long-running production jobs
+    whose scoring joins amortize the compile.
+    """
+    if dim is None:
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, v: acc + v)
+    acc = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + F.element_at(a, i) * F.element_at(b, i)
+    return acc
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+def _dot_lit(a: Column, w: list[float]) -> Column:
+    """Dot of an array column with a CONSTANT vector, unrolled to codegen
+    arithmetic with the same FP fold order as the aggregate form."""
+    acc = F.lit(0.0)
+    for i, wi in enumerate(w):
+        acc = acc + F.element_at(a, i + 1) * F.lit(wi)
+    return acc
+
+
+def _norm(a: Column, dim: int | None = None) -> Column:
+    """sqrt(sum of squares); same unrolling contract as _dot."""
+    if dim is None:
+        return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    acc = F.lit(0.0)
+    for i in range(1, dim + 1):
+        e = F.element_at(a, i)
+        acc = acc + e * e
+    return F.sqrt(acc)
 
 
 def as_double_array(col: Column) -> Column:
@@ -39,7 +76,8 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def _cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+def _cosine_pre(a: Column, b: Column, na: Column, nb: Column,
+                dim: int | None = None) -> Column:
     """`cosine` with the per-side norms precomputed as columns.
 
     Bit-identical to `cosine` (same _dot(a,b) / (na * nb) double
@@ -51,24 +89,28 @@ def _cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
     one (the dot): at 10^9 vectors x sqrt(N) centroids the two hoisted
     norms are the difference between 3x and 1x full-corpus-dim passes
     per candidate."""
-    return _dot(a, b) / (na * nb)
+    return _dot(a, b, dim) / (na * nb)
 
 
 def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int,
                      vec_col: str = "embedding", key_col: str = "vec_id",
-                     query_key: str = "query_id") -> DataFrame:
+                     query_key: str = "query_id",
+                     dim: int | None = None) -> DataFrame:
     """Exact cosine top-k per query (queries broadcast; data side streamed).
+
+    Pass `dim` when the embedding width is known so the per-pair dot
+    unrolls to codegen arithmetic (see _dot).
 
     Output: (query_id, vec_id, cos_sim, rank)."""
     d = (embeddings.select(F.col(key_col),
                            as_double_array(F.col(vec_col)).alias("v"))
-         .withColumn("nv", _norm(F.col("v"))))
+         .withColumn("nv", _norm(F.col("v"), dim)))
     q = (queries.select(F.col(query_key),
                         as_double_array(F.col(vec_col)).alias("qv"))
-         .withColumn("nq", _norm(F.col("qv"))))
+         .withColumn("nq", _norm(F.col("qv"), dim)))
     scored = (d.crossJoin(F.broadcast(q))
               .withColumn("cos_sim", F.round(_cosine_pre(
-                  F.col("qv"), F.col("v"), F.col("nq"), F.col("nv")), 4)))
+                  F.col("qv"), F.col("v"), F.col("nq"), F.col("nv"), dim), 4)))
     w = Window.partitionBy(query_key).orderBy(F.desc("cos_sim"), F.col(key_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -113,11 +155,11 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int, dim: int,
     is within Hamming distance 1 of the query's sketch (multi-probe)."""
     d = (embeddings.select(F.col(key_col),
                            as_double_array(F.col(vec_col)).alias("v"))
-         .withColumn("nv", _norm(F.col("v"))))
+         .withColumn("nv", _norm(F.col("v"), dim)))
     d = d.withColumn("bucket", srp_sketch(F.col("v"), dim, bits))
     q = (queries.select(F.col(query_key),
                         as_double_array(F.col(vec_col)).alias("qv"))
-         .withColumn("nq", _norm(F.col("qv"))))
+         .withColumn("nq", _norm(F.col("qv"), dim)))
     q = q.withColumn("sketch", srp_sketch(F.col("qv"), dim, bits))
     probes = F.array(F.col("sketch"),
                      *[F.col("sketch").bitwiseXOR(F.lit(1 << b).cast("long"))
@@ -128,7 +170,7 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int, dim: int,
     cand = (d.join(F.broadcast(q), "bucket")
             .dropDuplicates([query_key, key_col])
             .withColumn("cos_sim", F.round(_cosine_pre(
-                F.col("qv"), F.col("v"), F.col("nq"), F.col("nv")), 4)))
+                F.col("qv"), F.col("v"), F.col("nq"), F.col("nv"), dim), 4)))
     w = Window.partitionBy(query_key).orderBy(F.desc("cos_sim"), F.col(key_col))
     return (cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -152,7 +194,7 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     semantics, and safe while buckets stay near-uniform."""
     d = (embeddings.select(F.col(key_col),
                            as_double_array(F.col(vec_col)).alias("v"))
-         .withColumn("nv", _norm(F.col("v"))))
+         .withColumn("nv", _norm(F.col("v"), dim)))
     d = d.withColumn("bucket", srp_sketch(F.col("v"), dim, bits))
     if bucket_cap is not None:
         keep = (d.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
@@ -164,7 +206,7 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                  F.col("v").alias("vb"), F.col("nv").alias("nb"))
     return (l.join(r, "bucket").where(F.col("id_a") < F.col("id_b"))
             .withColumn("cos_sim", F.round(_cosine_pre(
-                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 4))
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), dim), 4))
             .where(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b", "cos_sim").distinct())
 
@@ -172,7 +214,8 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
              centroid_stride: int = 31, nprobe: int = 4,
              vec_col: str = "embedding", key_col: str = "vec_id",
-             query_key: str = "query_id") -> DataFrame:
+             query_key: str = "query_id",
+             dim: int | None = None) -> DataFrame:
     """IVF-flat approximate top-k: the partition-pruned ANN scale path.
 
     Coarse quantizer: every `centroid_stride`-th vector (by key) is a
@@ -202,7 +245,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
     """
     d = (embeddings.select(F.col(key_col),
                            as_double_array(F.col(vec_col)).alias("v"))
-         .withColumn("nv", _norm(F.col("v"))))
+         .withColumn("nv", _norm(F.col("v"), dim)))
     cent = (d.where(F.col(key_col) % centroid_stride == 0)
             .select(F.col(key_col).alias("centroid_id"),
                     F.col("v").alias("cv"), F.col("nv").alias("ncv")))
@@ -218,7 +261,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
     # Norms are hoisted per side (_cosine_pre): each of the N*C map-side
     # candidates costs ONE array aggregate (the dot), not three.
     sim = F.round(_cosine_pre(F.col("v"), F.col("cv"),
-                              F.col("nv"), F.col("ncv")), 4)
+                              F.col("nv"), F.col("ncv"), dim), 4)
     assigned = (d.crossJoin(F.broadcast(cent))
                 .withColumn("sim", sim)
                 .groupBy(key_col)
@@ -233,9 +276,9 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
     # query side: nprobe nearest centroids each (same broadcast, tiny)
     q = (queries.select(F.col(query_key),
                         as_double_array(F.col(vec_col)).alias("qv"))
-         .withColumn("nq", _norm(F.col("qv"))))
+         .withColumn("nq", _norm(F.col("qv"), dim)))
     qsim = F.round(_cosine_pre(F.col("qv"), F.col("cv"),
-                               F.col("nq"), F.col("ncv")), 4)
+                               F.col("nq"), F.col("ncv"), dim), 4)
     qw = Window.partitionBy(query_key).orderBy(F.desc("qsim"), F.col("centroid_id"))
     probes = (q.crossJoin(F.broadcast(cent))
               .withColumn("qsim", qsim)
@@ -247,7 +290,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
     cand = assigned.join(F.broadcast(probes), "centroid_id")
     scored = cand.withColumn(
         "cos_sim", F.round(_cosine_pre(F.col("qv"), F.col("v"),
-                                       F.col("nq"), F.col("nv")), 4))
+                                       F.col("nq"), F.col("nv"), dim), 4))
     w = Window.partitionBy(query_key).orderBy(F.desc("cos_sim"), F.col(key_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -256,7 +299,8 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
 
 def semdedup(embeddings: DataFrame, threshold: float = 0.95,
              centroid_stride: int = 31,
-             vec_col: str = "embedding", key_col: str = "vec_id") -> DataFrame:
+             vec_col: str = "embedding", key_col: str = "vec_id",
+             dim: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication", 2023): remove documents
     whose EMBEDDINGS are near-duplicates, catching paraphrases and
@@ -293,7 +337,7 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.95,
 
     d = (embeddings.select(F.col(key_col),
                            as_double_array(F.col(vec_col)).alias("v"))
-         .withColumn("nv", _norm(F.col("v"))))
+         .withColumn("nv", _norm(F.col("v"), dim)))
     cent = (d.where(F.col(key_col) % centroid_stride == 0)
             .select(F.col(key_col).alias("centroid_id"),
                     F.col("v").alias("cv"), F.col("nv").alias("ncv")))
@@ -304,7 +348,7 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.95,
     # side (_cosine_pre) so each N*C candidate costs one dot, not
     # dot + both norms
     sim = F.round(_cosine_pre(F.col("v"), F.col("cv"),
-                              F.col("nv"), F.col("ncv")), 4)
+                              F.col("nv"), F.col("ncv"), dim), 4)
     assigned = (d.crossJoin(F.broadcast(cent))
                 .withColumn("sim", sim)
                 .groupBy(key_col)
@@ -325,7 +369,7 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.95,
     pairs = (lhs.join(rhs, "centroid_id")
              .where(F.col("id_a") < F.col("id_b"))
              .withColumn("cos_sim", F.round(_cosine_pre(
-                 F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 4))
+                 F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), dim), 4))
              .where(F.col("cos_sim") >= threshold)
              .select("id_a", "id_b", "cos_sim")
              # the pair set seeds both sides of the CC loop; materialize

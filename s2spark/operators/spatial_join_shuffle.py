@@ -166,11 +166,49 @@ def spatial_join_shuffle(spark: SparkSession, points: DataFrame,
     OOM the driver.  Both gates come from one cheap aggregate over the
     loop table.  Set either to 0 to force the cogroup path.
     """
+    # Broadcast-budget gate FIRST (one tiny aggregate over the loop table):
+    # it decides BOTH the refine strategy (below) and, new in r6, the
+    # covering build strategy.  A polygon side small enough to broadcast
+    # its vertices is also small enough to cover on the DRIVER through the
+    # same memo/disk cache as the broadcast join — skipping the
+    # applyInPandas covering job + its Python-worker spin-up + the
+    # persist/collect round-trip (measured r6: ~4-5 s of this operator's
+    # construction at sf0.1).  The distributed covering path is unchanged
+    # for polygon sets above the budget — the regime this operator exists
+    # for.
+    stats = polygons_df.agg(
+        F.count(F.lit(1)).alias("n_loops"),
+        F.coalesce(F.sum(F.size("vertices")), F.lit(0)).alias("n_verts"),
+    ).collect()[0]
+    n_loops, n_verts = int(stats["n_loops"]), int(stats["n_verts"])
+    small_side = (0 < n_loops <= refine_broadcast_loops
+                  and 0 < n_verts <= refine_broadcast_vertices)
+    polygons: dict[int, Polygon] | None = None
+    if small_side:
+        by_pid: dict[int, list] = {}
+        for row in polygons_df.collect():
+            by_pid.setdefault(int(row["polygon_id"]), []).append(row)
+        polygons = {
+            pid: Polygon([
+                Loop(np.stack([np.asarray(v, dtype=np.float64)
+                               for v in r["vertices"]]),
+                     depth=int(r["depth"]))
+                for r in sorted(rows, key=lambda r: int(r["loop_idx"]))])
+            for pid, rows in by_pid.items()}
     if coverings is None:
-        coverings = build_coverings_distributed(polygons_df)
-    coverings = coverings.persist()
-    levels = [r[0] for r in
-              coverings.select("cov_level").distinct().orderBy("cov_level").collect()]
+        if small_side:
+            from .spatial_join import build_coverings
+            cov_pdf = build_coverings(polygons, max_cells=64)
+            coverings = spark.createDataFrame(cov_pdf)
+            levels = sorted(int(lv) for lv in cov_pdf["cov_level"].unique())
+        else:
+            coverings = build_coverings_distributed(polygons_df).persist()
+            levels = [r[0] for r in coverings.select("cov_level").distinct()
+                      .orderBy("cov_level").collect()]
+    else:
+        coverings = coverings.persist()
+        levels = [r[0] for r in coverings.select("cov_level").distinct()
+                  .orderBy("cov_level").collect()]
 
     probe_keys = F.array(*[C.parent_for_level(F.col(cell_col), int(lv)) for lv in levels])
     probed = points.withColumn("probe_cell", F.explode(probe_keys))
@@ -220,26 +258,10 @@ def spatial_join_shuffle(spark: SparkSession, points: DataFrame,
     # broadcast-refine fast path: few-enough loops AND vertices -> ship
     # vertices to every executor once and run the masked single-pass
     # parity kernel; skips the exterior/interior split union and the
-    # cogroup's exchanges.  One aggregate yields both gate inputs; the
-    # vertex sum is the byte bound (see docstring).
-    stats = polygons_df.agg(
-        F.count(F.lit(1)).alias("n_loops"),
-        F.coalesce(F.sum(F.size("vertices")), F.lit(0)).alias("n_verts"),
-    ).collect()[0]
-    n_loops, n_verts = int(stats["n_loops"]), int(stats["n_verts"])
-    if (0 < n_loops <= refine_broadcast_loops
-            and 0 < n_verts <= refine_broadcast_vertices):
+    # cogroup's exchanges.  The gate (and the collected polygon dict) was
+    # computed once above, shared with the covering-build decision.
+    if small_side:
         from .spatial_join import _make_contains_udf
-        polys: dict[int, list] = {}
-        for row in polygons_df.collect():
-            polys.setdefault(int(row["polygon_id"]), []).append(row)
-        polygons = {
-            pid: Polygon([
-                Loop(np.stack([np.asarray(v, dtype=np.float64)
-                               for v in r["vertices"]]),
-                     depth=int(r["depth"]))
-                for r in sorted(rows, key=lambda r: int(r["loop_idx"]))])
-            for pid, rows in polys.items()}
         contains_udf = _make_contains_udf(spark, polygons)
         masked = F.when(~F.col("is_interior"), F.col("x"))
         keep = F.col("is_interior") | contains_udf(

@@ -152,15 +152,24 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                    .select(F.explode(F.array_distinct(
                        word_ngrams(F.col(text_col), n_words))).alias("gram"))
                    .distinct())
-    grams = corpus.select(
+    # ONE corpus pass (r6): the r5 shape built the per-doc distinct-gram
+    # array twice (a sizes branch and a hits branch — the gram transform
+    # is interpreted HOF work, the most expensive part of the query) and
+    # reunited them with an extra join.  Instead explode the distinct
+    # grams once (explode_outer keeps zero-gram docs as a NULL-gram row),
+    # mark bench hits with a broadcast left join, and take both counts
+    # from a single partial-aggregated groupBy: count(gram) ignores the
+    # NULL placeholder, count(__hit) counts only matched grams.  Output
+    # is row- and column-identical.
+    ex = corpus.select(
         F.col(key_col),
-        F.array_distinct(word_ngrams(F.col(text_col), n_words)).alias("__g"))
-    sizes = grams.select(key_col, F.size("__g").alias("n_grams"))
-    hits = (grams.select(key_col, F.explode("__g").alias("gram"))
-            .join(F.broadcast(bench_grams), "gram")
-            .groupBy(key_col).agg(F.count(F.lit(1)).alias("n_overlap")))
-    out = (sizes.join(hits, key_col, "left")
-           .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
+        F.explode_outer(F.array_distinct(
+            word_ngrams(F.col(text_col), n_words))).alias("gram"))
+    hit = bench_grams.withColumn("__hit", F.lit(1))
+    out = (ex.join(F.broadcast(hit), "gram", "left")
+           .groupBy(key_col)
+           .agg(F.count("gram").cast("int").alias("n_grams"),      # int, as size() was
+                F.count("__hit").alias("n_overlap"))
            .withColumn("overlap_frac", F.round(
                F.col("n_overlap") / F.greatest("n_grams", F.lit(1)), 6)))
     return out.withColumn("contaminated", F.col("overlap_frac") >= threshold)

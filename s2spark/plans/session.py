@@ -32,6 +32,18 @@ def build_session(app_name: str = "s2spark", master: str | None = None,
          .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
          .config("spark.sql.ansi.enabled", "false")
          .config("spark.ui.enabled", "false")
+         # The UI is off, but the status listeners still record every
+         # job/stage/task/SQL execution in the in-memory status store
+         # (default retention: 1000 jobs / 1000 stages / 1000 SQL
+         # executions with full plan graphs).  A long-lived session
+         # running hundreds of queries accumulates and then churns this
+         # store on every event — pure driver-side overhead for a
+         # headless engine.  Keep just enough for post-hoc debugging.
+         .config("spark.ui.retainedJobs", "50")
+         .config("spark.ui.retainedStages", "50")
+         .config("spark.ui.retainedTasks", "500")
+         .config("spark.sql.ui.retainedExecutions", "10")
+         .config("spark.worker.ui.retainedExecutors", "10")
          # \r-animated console progress frames corrupt captured output
          # (bench JSON lines, plan-audit tables, driver logs)
          .config("spark.ui.showConsoleProgress", "false"))
