@@ -875,7 +875,10 @@ def _q_events_retention(spark, sf_dir):
     were also active on D+1.  One distinct + one co-partitioned semi-join
     keyed on (day, user) — partial-aggregated shuffles only."""
     ev = _read(spark, sf_dir, "events")
-    act = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    # the distinct (day, user) activity set feeds three consumers (next-day
+    # probe, per-day counts, retention join): materialize it once (lazy)
+    act = (ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+           .localCheckpoint(eager=False))
     nxt = act.select(F.date_sub("day", 1).alias("day"), "user_id")
     per_day = act.groupBy("day").agg(F.count(F.lit(1)).alias("n_active"))
     ret = (act.join(nxt, ["day", "user_id"], "semi")

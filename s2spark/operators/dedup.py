@@ -258,7 +258,13 @@ def chunk_dedup(documents: DataFrame, text_col: str = "text",
           # the dedup stages (md5, not a 64-bit hash — at 100 TB the
           # corpus holds ~10^10 chunks, where 64-bit birthday collisions
           # are expected and would silently drop non-duplicate spans)
-          .withColumn("__digest", F.unhex(F.md5(F.col("chunk")))))
+          .withColumn("__digest", F.unhex(F.md5(F.col("chunk"))))
+          # the exploded chunk relation feeds three consumers (the
+          # first-occurrence agg, the kept join probe, and the per-doc
+          # totals below); materialize it once — r5 re-ran the
+          # normalize+chunk+md5 subtree per consumer.  Lazy: no job
+          # until the caller's first action.
+          .localCheckpoint(eager=False))
     # first occurrence of each distinct chunk across the corpus: one
     # min(struct) agg — (doc_id, chunk_idx) lexicographic order
     firsts = (ex.groupBy("__digest")
@@ -276,8 +282,12 @@ def chunk_dedup(documents: DataFrame, text_col: str = "text",
                           " ").alias("dedup_text"),
                       F.count(F.lit(1)).alias("n_chunks_kept")))
     # docs whose EVERY chunk was seen earlier keep an empty-text row
-    # (C4 semantics: the document survives, its content is fully removed)
-    base = df.select(key_col, n_chunks.alias("n_chunks_total"))
+    # (C4 semantics: the document survives, its content is fully removed).
+    # Totals come from the materialized exploded relation (one row per
+    # chunk, >= 1 per doc since n_chunks is floored at 1) instead of a
+    # third pass over the documents.
+    base = (ex.groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_chunks_total")))
     return (base.join(assembled, [key_col], "left")
             .select(key_col,
                     F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
@@ -648,9 +658,13 @@ def dedup_resolve(documents: DataFrame, text_col: str = "text",
     clusters = dedup_clusters(documents, text_col, key_col, n,
                               num_hashes, bands, threshold) \
         .select(key_col, "cluster_id")
+    # scored is consumed twice (the per-cluster argmax and the final
+    # annotate join); materialize the tiny (key, cluster, len) table once
+    # (lazy) so the cluster-map join lineage doesn't run per consumer
     scored = clusters.join(
         documents.select(F.col(key_col),
-                         F.length(text_col).alias("__len")), key_col)
+                         F.length(text_col).alias("__len")), key_col) \
+        .localCheckpoint(eager=False)
     # argmax(len, then min id) as a plain min over (-len, id): partial
     # aggregation applies, unlike a row_number window which must co-sort
     # every cluster's rows in one partition.  Negating the LENGTH (always
@@ -697,12 +711,20 @@ def line_dedup(documents: DataFrame, text_col: str = "text",
     whitespace-only and removed.
     """
     ws_trim = lambda c: F.regexp_replace(c, r"^\s+|\s+$", "")  # noqa: E731
+    # r6: materialize the exploded line relation once (lazy checkpoint).
+    # It feeds three consumers (frequency agg, anti-join probe, per-doc
+    # sizes); r5 deliberately re-ran the scan+split per consumer on the
+    # argument that the exploded relation is larger than its source, but
+    # measurement shows the explode+trim+filter recompute costs more
+    # than storing blocks of roughly corpus size that die with the
+    # result — the same trade every shuffle of this relation makes.
     lines = (documents
              .select(F.col(key_col),
                      F.posexplode(F.split(F.col(text_col), "\n"))
                      .alias("idx", "line"))
              .withColumn("line", ws_trim(F.col("line")))
-             .where(F.length("line") > 0))
+             .where(F.length("line") > 0)
+             .localCheckpoint(eager=False))
     banned = (lines.groupBy("line")
               .agg(F.count(F.lit(1)).alias("__n"))
               .where(F.col("__n") >= min_count)

@@ -121,14 +121,37 @@ def doc_stats(documents: DataFrame) -> DataFrame:
 def word_ngrams(col: Column, n: int) -> Column:
     """List of word n-grams of a text column (JVM exprs only).  Empty list
     for texts shorter than n words (Spark's sequence() would otherwise
-    DESCEND for stop < start and fabricate grams)."""
+    DESCEND for stop < start and fabricate grams).
+
+    r6 rewrite, same output strings: the token array is BOUND ONCE per
+    row as a lambda variable (the transform-over-singleton trick below)
+    and each gram is concat(tok_i, ' ', tok_{i+1}, ...) via element_at.
+    The old concat_ws-over-F.slice form re-evaluated the whole
+    regexp_replace + split subtree for EVERY GRAM: higher-order
+    functions run through the interpreted evaluator, which recomputes
+    any non-lambda subtree of the lambda body per element.  Binding the
+    array as a lambda variable turns that into one attribute lookup, and
+    dropping slice() removes an n-element array allocation per gram.
+    (split() never yields nulls, so concat == concat_ws here.)"""
     norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
     toks = F.split(norm, " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.when(F.size(toks) < n, F.array().cast("array<string>")) \
-            .otherwise(grams)
+
+    def grams_of(t: Column) -> Column:
+        def gram(i: Column) -> Column:
+            parts = []
+            for j in range(n):
+                if j:
+                    parts.append(F.lit(" "))
+                parts.append(F.element_at(t, i + j))
+            return F.concat(*parts)
+
+        return (F.when(F.size(t) < n, F.array().cast("array<string>"))
+                .otherwise(F.transform(
+                    F.sequence(F.lit(1), F.size(t) - (n - 1)), gram)))
+
+    # bind `toks` once: transform over a singleton array makes the token
+    # array a lambda variable inside the gram builder
+    return F.element_at(F.transform(F.array(toks), grams_of), 1)
 
 
 def decontaminate(corpus: DataFrame, benchmark: DataFrame,
@@ -346,7 +369,10 @@ def tfidf_topk(documents: DataFrame, k: int = 5,
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     ex = documents.select(F.col(key_col),
                           F.explode(F.split(norm, " ")).alias("term"))
-    tf = ex.groupBy(key_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the document-frequency agg and the scoring join:
+    # materialize once (lazy) instead of re-running explode+aggregate
+    tf = (ex.groupBy(key_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint(eager=False))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = float(documents.count())
     scored = (tf.join(dfreq, "term")

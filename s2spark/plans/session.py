@@ -39,6 +39,15 @@ def build_session(app_name: str = "s2spark", master: str | None = None,
          # running hundreds of queries accumulates and then churns this
          # store on every event — pure driver-side overhead for a
          # headless engine.  Keep just enough for post-hoc debugging.
+         # Generated-class cache (static conf, default 100 entries): a
+         # multi-query session generates several hundred distinct codegen
+         # classes; at 100 entries the cache is fully evicted every ~15
+         # queries, so any shared subplan (e.g. the signature->LSH chain
+         # reused by the dedup cluster/resolve operators) is re-compiled
+         # by janino and re-JIT'ed from scratch each time it reappears.
+         # Generated classes are a few KB each — 5000 entries is ~tens of
+         # MB of metaspace, noise next to the 8 GB heap.
+         .config("spark.sql.codegen.cache.maxEntries", "5000")
          .config("spark.ui.retainedJobs", "50")
          .config("spark.ui.retainedStages", "50")
          .config("spark.ui.retainedTasks", "500")
