@@ -820,11 +820,18 @@ def _q_sim_recall(spark, sf_dir):
     indexes (SRP-LSH multiprobe, IVF-flat) against the exact brute-force
     top-k, in one annotated result."""
     # truth feeds four consumers (n_true + hit join, x2 methods):
-    # materialize the exact crossJoin top-k ONCE instead of re-running it
+    # materialize the exact crossJoin top-k ONCE instead of re-running it.
+    # The retrieved sides are materialized too (r6): recall_at_k consumes
+    # each one twice (n_retrieved agg + hit join), so unmaterialized, the
+    # full IVF / SRP-LSH index-and-rank plans executed twice each — the
+    # top-k results are <= k x #queries rows, the cheapest possible
+    # checkpoint.
     truth = _q_sim_bruteforce(spark, sf_dir).localCheckpoint()
-    ivf = similarity.recall_at_k(truth, _q_sim_ivf(spark, sf_dir)) \
+    ivf = similarity.recall_at_k(
+        truth, _q_sim_ivf(spark, sf_dir).localCheckpoint(eager=False)) \
         .withColumn("method", F.lit("ivf"))
-    lsh = similarity.recall_at_k(truth, _q_sim_lsh(spark, sf_dir)) \
+    lsh = similarity.recall_at_k(
+        truth, _q_sim_lsh(spark, sf_dir).localCheckpoint(eager=False)) \
         .withColumn("method", F.lit("srp_lsh"))
     return ivf.unionByName(lsh)
 
@@ -904,26 +911,27 @@ def _q_knn(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """One callable per operator.  ORDERING IS DELIBERATE (r6): the
+    driver's correctness gate grades a 50-entry window from the front of
+    this dict, and for three rounds the last 11 entries (the similarity
+    family, events aggregates, entropy, stratified sampling) never
+    received a driver-side correctness row.  Those 11 now sit inside the
+    first 50; the 11 rotated to the tail are long-stable queries whose
+    kernels keep full pytest fixture + oracle-mirror coverage
+    (tools/check_correctness.py runs all 61 regardless of order)."""
     return {
         "s2_encode_tokens": _q_encode,
         "s2_tile_counts": _q_tile_counts,
-        "s2_tile_topk": _q_tile_topk,
-        "s2_cell_topology": _q_topology,
         "s2_point_in_polygon": _q_point_in_polygon,
         "s2_point_in_polygon_shuffle": _q_point_in_polygon_shuffle,
         "stream_point_in_polygon": _q_stream_point_in_polygon,
         "s2_edge_crossing_join": _q_edge_crossing_join,
-        "s2_containment_ranges": _q_containment_ranges,
         "s2_rect_query": _q_rect_query,
         "s2_cap_query": _q_cap_query,
         "s2_boolean_pip": _q_boolean_pip,
         "s2_buffered_join": _q_buffered_join,
         "s2_corridor_join": _q_corridor_join,
         "s2_nearest_track": _q_nearest_track,
-        "s2_rect_distance": _q_rect_distance,
-        "s2_polyline_project": _q_polyline_project,
-        "s2_polyline_interpolate": _q_polyline_interpolate,
-        "s2_polyline_length": _q_polyline_length,
         "s2_knn_join": _q_knn,
         "events_sessionization": _q_event_sessions,
         "dedup_exact": _q_dedup_exact,
@@ -936,7 +944,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_resolve": _q_dedup_resolve,
         "text_line_dedup": _q_line_dedup,
         "dedup_corpus_filter": _q_corpus_filter,
-        "s2_tile_quantiles": _q_tile_quantiles,
         "text_chunk_dedup": _q_chunk_dedup,
         "multimodal_features": _q_multimodal,
         "similarity_near_dup_pairs": _q_near_dup,
@@ -944,9 +951,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_stats": _q_pii_stats,
         "text_url_canonicalize": _q_url_canonicalize,
         "text_langid": _q_langid,
-        "text_fingerprint": _q_fingerprint,
-        "text_doc_stats": _q_doc_stats,
-        "text_token_count": _q_token_count,
         "text_sequence_packing": _q_pack_sequences,
         "text_tfidf_topk": _q_tfidf_topk,
         "text_ngram_topk": _q_ngram_topk,
@@ -955,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontamination": _q_decontamination,
         "text_repetition": _q_repetition,
         "text_domain_stats": _q_domain_stats,
+        # --- the 11 queries the r3-r5 driver windows never graded ---
         "text_entropy": _q_entropy,
         "corpus_sample_stratified": _q_stratified_sample,
         "similarity_bruteforce_topk": _q_sim_bruteforce,
@@ -966,6 +971,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relational_revenue_by_nation": _q_revenue,
         "events_daily_agg": _q_events_daily,
         "events_retention": _q_events_retention,
+        # --- rotated to the tail (stable; pytest + oracle-mirror cover) ---
+        "s2_tile_topk": _q_tile_topk,
+        "s2_cell_topology": _q_topology,
+        "s2_containment_ranges": _q_containment_ranges,
+        "s2_rect_distance": _q_rect_distance,
+        "s2_polyline_project": _q_polyline_project,
+        "s2_polyline_interpolate": _q_polyline_interpolate,
+        "s2_polyline_length": _q_polyline_length,
+        "s2_tile_quantiles": _q_tile_quantiles,
+        "text_fingerprint": _q_fingerprint,
+        "text_doc_stats": _q_doc_stats,
+        "text_token_count": _q_token_count,
     }
 
 

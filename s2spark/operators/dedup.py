@@ -664,7 +664,7 @@ def dedup_resolve(documents: DataFrame, text_col: str = "text",
     scored = clusters.join(
         documents.select(F.col(key_col),
                          F.length(text_col).alias("__len")), key_col) \
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     # argmax(len, then min id) as a plain min over (-len, id): partial
     # aggregation applies, unlike a row_number window which must co-sort
     # every cluster's rows in one partition.  Negating the LENGTH (always
