@@ -43,6 +43,13 @@ from s2spark.plans.audit import append_audit, partition_metrics  # noqa: E402
 from s2spark.plans.checkpoint import SnapshotStore  # noqa: E402
 
 
+# Stage-definition version: bump whenever a stage's SEMANTICS change (the
+# r5 reorder reused the 'exact' stage name with different meaning — pre-
+# and post-reorder snapshots must never mix on resume).  Committed with
+# every snapshot; resume_or_compute recomputes on mismatch.
+PIPELINE_VERSION = "corpus-v2-exact-before-lines"
+
+
 def run(spark, sf_dir: str, workdir: str,
         min_tokens: int = 5, min_alpha_ratio: float = 0.5) -> dict:
     store = SnapshotStore(os.path.join(workdir, "snapshots"))
@@ -61,7 +68,8 @@ def run(spark, sf_dir: str, workdir: str,
         append_audit(partition_metrics(df, "exact"), audit_dir)
         return df
 
-    uniq = store.resume_or_compute(spark, "exact", stage_exact)
+    uniq = store.resume_or_compute(spark, "exact", stage_exact,
+                                         version=PIPELINE_VERSION)
 
     def stage_lines():
         # corpus-level boilerplate strip: substitute each doc's text with
@@ -74,7 +82,8 @@ def run(spark, sf_dir: str, workdir: str,
         append_audit(partition_metrics(df, "lines"), audit_dir)
         return df
 
-    docs = store.resume_or_compute(spark, "lines", stage_lines)
+    docs = store.resume_or_compute(spark, "lines", stage_lines,
+                                         version=PIPELINE_VERSION)
 
     def stage_features():
         df = textstats.quality_features(docs)
@@ -83,7 +92,8 @@ def run(spark, sf_dir: str, workdir: str,
         append_audit(partition_metrics(df, "features"), audit_dir)
         return df
 
-    feats = store.resume_or_compute(spark, "features", stage_features)
+    feats = store.resume_or_compute(spark, "features", stage_features,
+                                         version=PIPELINE_VERSION)
 
     def stage_filter():
         df = feats.where((F.col("n_bpe_tokens") >= min_tokens)
@@ -91,7 +101,8 @@ def run(spark, sf_dir: str, workdir: str,
         append_audit(partition_metrics(df, "filter"), audit_dir)
         return df
 
-    kept = store.resume_or_compute(spark, "filter", stage_filter)
+    kept = store.resume_or_compute(spark, "filter", stage_filter,
+                                         version=PIPELINE_VERSION)
 
     def stage_neardup():
         # LSH bounds candidate generation, exact Jaccard verification
@@ -104,7 +115,8 @@ def run(spark, sf_dir: str, workdir: str,
         append_audit(partition_metrics(df, "neardup"), audit_dir)
         return df
 
-    clean = store.resume_or_compute(spark, "neardup", stage_neardup)
+    clean = store.resume_or_compute(spark, "neardup", stage_neardup,
+                                         version=PIPELINE_VERSION)
 
     def stage_corpus():
         return (clean.groupBy("lang_pred")
@@ -112,7 +124,8 @@ def run(spark, sf_dir: str, workdir: str,
                      F.sum("n_bpe_tokens").alias("n_tokens"),
                      F.round(F.avg("bytes_per_token"), 4).alias("avg_bpt")))
 
-    report = store.resume_or_compute(spark, "corpus", stage_corpus)
+    report = store.resume_or_compute(spark, "corpus", stage_corpus,
+                                         version=PIPELINE_VERSION)
 
     return {
         "raw_input": raw.count(),

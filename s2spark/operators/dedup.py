@@ -418,12 +418,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # node ids must be integral: the star rounds and the driver union-find
     # both key on longs, and casting a non-numeric id would silently turn
     # every edge into (NULL, NULL) -> everything a singleton.  Fail loudly.
+    # Zero-scale decimals (decimal(k,0) — common for ids arriving from
+    # Parquet/JDBC sources) cast to long losslessly for k <= 18 and are
+    # accepted too (r5's strictness fix over-rejected them).
+    import re as _re
     dtypes = dict(pairs.dtypes)
     for col in (id_a, id_b):
-        if dtypes.get(col) not in ("tinyint", "smallint", "int", "bigint"):
+        dt = dtypes.get(col)
+        m = _re.fullmatch(r"decimal\((\d+),0\)", dt or "")
+        if dt not in ("tinyint", "smallint", "int", "bigint") and not (
+                m and int(m.group(1)) <= 18):
             raise TypeError(
                 f"connected_components needs integral node ids; {col!r} is "
-                f"{dtypes.get(col)} — map keys to longs (e.g. a dimension "
+                f"{dt} — map keys to longs (e.g. a dimension "
                 f"table with monotonically_increasing_id) before clustering")
     pairs = (pairs.select(F.col(id_a).cast("long").alias(id_a),
                           F.col(id_b).cast("long").alias(id_b))

@@ -429,6 +429,13 @@ def recall_at_k(truth: DataFrame, retrieved: DataFrame,
     Scale shape: both inputs are top-k outputs (<= k rows per query), so
     every stage — two partial-aggregatable counts and one inner join on
     (query, item) — is bounded by k x #queries, never by corpus size.
+
+    PRECONDITION: (query, item) pairs must be UNIQUE within each input
+    (true of every top-k producer in this module).  Duplicate rows would
+    multiply-count through the hit join and can report recall > 1.0;
+    deduplicating here would add two shuffles every call pays for a
+    malformed input, so — like minhash_signatures' key-uniqueness
+    precondition — it is the caller's contract.
     """
     t = truth.select(query_col, item_col)
     r = retrieved.select(query_col, item_col)

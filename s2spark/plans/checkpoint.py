@@ -100,7 +100,8 @@ class SnapshotStore:
                                 "ts": time.time()}) + "\n")
 
     def commit(self, stage: str, path: str, n_rows: int,
-               schema: str | None = None) -> None:
+               schema: str | None = None,
+               version: str | None = None) -> None:
         # If a prior append was torn mid-line (crash), start on a fresh line
         # so the new record isn't glued onto the torn fragment and lost.
         needs_nl = (os.path.exists(self.manifest_path)
@@ -114,21 +115,37 @@ class SnapshotStore:
         with open(self.manifest_path, "a") as f:
             if needs_nl:
                 f.write("\n")
-            f.write(json.dumps({"stage": stage, "snapshot_id": snap_id,
-                                "path": path, "n_rows": n_rows,
-                                "schema": schema, "ts": time.time()}) + "\n")
+            row = {"stage": stage, "snapshot_id": snap_id,
+                   "path": path, "n_rows": n_rows,
+                   "schema": schema, "ts": time.time()}
+            if version is not None:
+                row["version"] = version
+            f.write(json.dumps(row) + "\n")
 
     def resume_or_compute(self, spark: SparkSession, stage: str,
-                          compute: Callable[[], DataFrame]) -> DataFrame:
+                          compute: Callable[[], DataFrame],
+                          version: str | None = None) -> DataFrame:
         """Return the stage's snapshot if committed, else compute -> write ->
         commit -> read back (so downstream always reads the snapshot, making
-        the stage boundary a true barrier for restarts)."""
-        done = self._committed()
-        if stage in done:
-            return spark.read.parquet(done[stage])
+        the stage boundary a true barrier for restarts).
+
+        `version` is a STAGE-DEFINITION fingerprint (pipeline version
+        string, hash of the stage's semantics — anything that changes when
+        the meaning of the stage changes).  When provided, a committed
+        snapshot is only resumed if it was committed under the SAME
+        version; a mismatching (or version-less, pre-versioning) snapshot
+        is recomputed and committed as a new snapshot id (the old one
+        stays in the log for time travel).  Without this, resuming a
+        workdir written by an older pipeline that reused a stage NAME with
+        different semantics silently mixed incompatible stage outputs."""
+        cur = self._current().get(stage)
+        if cur is not None and (version is None
+                                or cur.get("version") == version):
+            return spark.read.parquet(cur["path"])
         path = os.path.join(self.root, f"{stage}-{int(time.time() * 1000)}")
         df = compute()
         df.write.mode("overwrite").parquet(path)
         n = spark.read.parquet(path).count()
-        self.commit(stage, path, n, schema=df.schema.simpleString())
+        self.commit(stage, path, n, schema=df.schema.simpleString(),
+                    version=version)
         return spark.read.parquet(path)

@@ -166,3 +166,59 @@ def test_covercache_roundtrip(tmp_path, monkeypatch):
     assert covercache.cached_rows(("k", 1), compute) == [[1, 2], [3, 4]]
     assert len(calls) == 1                     # disk hit
     assert covercache.cached_rows(("k", 2), lambda: [(9, 9)]) == [[9, 9]]
+
+
+def test_snapshot_version_gate(spark, tmp_path):
+    """resume_or_compute with a stage-definition version must NOT resume a
+    snapshot committed under a different (or no) version — the r5 advisor's
+    stale-resume hazard — while same-version resumes still hit."""
+    from s2spark.plans.checkpoint import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "snaps"))
+    calls = []
+
+    def make(tag):
+        def compute():
+            calls.append(tag)
+            return spark.createDataFrame([(tag,)], "v string")
+        return compute
+
+    # unversioned commit (pre-versioning workdir)
+    assert store.resume_or_compute(spark, "s", make("a")).first()["v"] == "a"
+    # versioned resume over an unversioned snapshot -> recompute
+    assert store.resume_or_compute(spark, "s", make("b"),
+                                   version="v2").first()["v"] == "b"
+    # same version -> resume, no recompute
+    assert store.resume_or_compute(spark, "s", make("c"),
+                                   version="v2").first()["v"] == "b"
+    # changed version -> recompute again
+    assert store.resume_or_compute(spark, "s", make("d"),
+                                   version="v3").first()["v"] == "d"
+    assert calls == ["a", "b", "d"]
+    # history preserved: three snapshots in the log
+    assert [r["snapshot_id"] for r in store.snapshots("s")] == [1, 2, 3]
+
+
+def test_connected_components_accepts_zero_scale_decimal(spark):
+    """decimal(k,0) node ids (Parquet/JDBC-sourced) cast losslessly and
+    must be accepted; fractional decimals and strings still fail loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from s2spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)],
+                                  "id_a long, id_b long")
+    dec = pairs.select(F.col("id_a").cast("decimal(18,0)").alias("id_a"),
+                       F.col("id_b").cast("decimal(18,0)").alias("id_b"))
+    out = {r["node"]: r["component"]
+           for r in connected_components(dec).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    frac = pairs.select(F.col("id_a").cast("decimal(10,2)").alias("id_a"),
+                        F.col("id_b").cast("decimal(10,2)").alias("id_b"))
+    with _pytest.raises(TypeError):
+        connected_components(frac)
+    strs = pairs.select(F.col("id_a").cast("string").alias("id_a"),
+                        F.col("id_b").cast("string").alias("id_b"))
+    with _pytest.raises(TypeError):
+        connected_components(strs)
