@@ -705,12 +705,11 @@ def line_dedup(documents: DataFrame, text_col: str = "text",
     broadcast when it fits and splits skewed probe partitions when it
     does not.  Reassembly shuffles once keyed on doc_id (never skewed:
     a doc's lines are bounded by the doc itself).  The exploded `lines`
-    subtree feeds three consumers (frequency agg, anti-join probe,
-    per-doc sizes), so the corpus scan + split runs three times — a
-    deliberate trade: the exploded relation is LARGER than its source,
-    so re-running the whole-stage-codegen scan+split beats materializing
-    it; callers with cheap storage can `.localCheckpoint()` `documents`
-    once upstream instead.
+    relation feeds three consumers (frequency agg, anti-join probe,
+    per-doc sizes) and is materialized once (lazy localCheckpoint, r6):
+    storing blocks of roughly corpus size that die with the result
+    measured cheaper than re-running the scan + split + trim + filter
+    subtree per consumer.
 
     Trimming uses the full whitespace class (regexp), not trim()'s
     space-only semantics: tab-indented or CR-terminated copies of a
