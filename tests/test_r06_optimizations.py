@@ -5,6 +5,10 @@ pin that claim against in-test reference implementations (the old
 expression shapes), independent of the DuckDB oracle gate.
 """
 
+import importlib.util
+import random
+from pathlib import Path
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -222,3 +226,47 @@ def test_connected_components_accepts_zero_scale_decimal(spark):
                         F.col("id_b").cast("string").alias("id_b"))
     with _pytest.raises(TypeError):
         connected_components(strs)
+
+
+def test_dedup_resolve_matches_python_oracle(spark):
+    """End-to-end pin of the r6-touched signature->LSH->verify->CC->resolve
+    chain against the independent pure-Python oracle
+    (tools/py_oracle_resolve.py: hashlib md5 + set algebra + union-find,
+    mirroring the frozen DuckDB oracle SQL semantics) on a randomized
+    template-heavy corpus — near-dups by truncation/word-edit, exact dups,
+    and boilerplate-sharing docs that collide in LSH buckets without being
+    true near-dups (the regime the estimate gate exists for)."""
+    spec = importlib.util.spec_from_file_location(
+        "py_oracle_resolve",
+        Path(__file__).resolve().parents[1] / "tools" / "py_oracle_resolve.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rnd = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    boiler = " ".join(rnd.choice(vocab) for _ in range(12))
+    rows, did = [], 0
+    for _ in range(45):
+        words = [rnd.choice(vocab) for _ in range(rnd.randint(6, 30))]
+        if rnd.random() < 0.5:            # shared boilerplate prefix
+            text = boiler + " " + " ".join(words)
+        else:
+            text = " ".join(words)
+        rows.append((did, text)); did += 1
+        r = rnd.random()
+        if r < 0.3:                        # exact duplicate
+            rows.append((did, text)); did += 1
+        elif r < 0.6:                      # near-dup: truncate a few words
+            rows.append((did, " ".join(text.split()[:-rnd.randint(1, 2)])))
+            did += 1
+        elif r < 0.8:                      # near-dup: one word edited
+            ws = text.split(); ws[rnd.randrange(len(ws))] = rnd.choice(vocab)
+            rows.append((did, " ".join(ws))); did += 1
+
+    from s2spark.operators.dedup import dedup_resolve
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in dedup_resolve(df).collect())
+    expected = mod.py_resolve(rows)
+    assert got == expected
+    # the corpus must actually exercise clustering, not just singletons
+    assert sum(1 for r in expected if r[0] != r[1]) >= 10

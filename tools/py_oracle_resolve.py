@@ -7,12 +7,11 @@ Compares against the Spark engine's dedup_resolve output for each dir.
 """
 import hashlib
 import math
+import os
 import re
 import sys
 
-import duckdb
-
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def md5_15(s: str) -> int:
@@ -98,6 +97,8 @@ def spark_resolve(sf_dir, spark, qs):
 
 
 def main():
+    import duckdb
+
     import __spark_entry__ as entry
     from s2spark.plans.session import build_session, release_session_state
     spark = build_session(master="local[32]")
